@@ -1,0 +1,146 @@
+"""Postings construction — the reference's whole build pipeline as shuffles.
+
+The reference builds the inverted index in three hand-rolled stages
+(tokenize->sorted runs: HW2/engine/build_runs_mp.py; layered k-way merge:
+HW2/engine/parallel_merge.py; single-writer final merge: HW2/engine/merger.py,
+which its own README calls the unavoidable serial bottleneck). In Spark the
+entire thing is ONE declarative plan: explode + two hash aggregations —
+Catalyst inserts partial (map-side) aggregation, the shuffle IS the merge,
+and no serial sink exists.
+
+Scale notes (100 TB / 1000 executors):
+  - groupBy(term, doc_id) has no skew problem: doc_id spreads hot terms
+    across the key space, and partial aggregation collapses duplicates
+    map-side before the shuffle.
+  - per-TERM aggregations (df counts, block building) DO skew on hot
+    terms; `salted_term_counts` demonstrates the two-phase salted
+    pattern, and the block builder bounds group size by doc-sharding
+    (see blocks.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokenize_udf, tokens_sql_col
+
+
+def with_tokens(df: DataFrame, text_col: str = "content", method: str = "pandas") -> DataFrame:
+    """Add a ``tokens: array<string>`` column.
+
+    method='pandas': Arrow-vectorized pandas_udf incl. HTML unescape
+    (the north-star path). method='sql': pure-JVM regexp_extract_all —
+    stays in whole-stage codegen; identical output on entity-free text.
+    """
+    col = tokenize_udf(F.col(text_col)) if method == "pandas" else tokens_sql_col(text_col)
+    return df.withColumn("tokens", col)
+
+
+def doc_stats(df_tokens: DataFrame, doc_id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, dl) — dl = token count; ZERO-length docs are KEPT.
+
+    Mirrors the reference MP build (HW2/engine/build_runs_mp.py:89-91)
+    where empty docs still enter doc_lengths with dl=0 and therefore
+    count in N and avgdl (see SURVEY.md §1.3). Pure projection: no shuffle.
+    """
+    return df_tokens.select(
+        F.col(doc_id_col).alias("doc_id"), F.size("tokens").cast("long").alias("dl")
+    )
+
+
+def corpus_stats(doc_stats_df: DataFrame) -> tuple[int, float]:
+    """(N, avgdl) as driver scalars — broadcast into score expressions.
+
+    N counts ALL docs incl. dl=0 (HW2/engine/daat_ranker.py:73-76 uses
+    len(doc_lengths), which the MP build fills for empty docs too).
+    """
+    row = doc_stats_df.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return int(row["n"]), float(row["avgdl"] or 0.0)
+
+
+def build_postings(df_tokens: DataFrame, doc_id_col: str = "doc_id") -> DataFrame:
+    """(term, doc_id, tf) — the inverted index in relational form.
+
+    explode + groupBy(term, doc_id).count(): Catalyst plans this as
+    partial hash agg (map-side combine) -> shuffle on (term, doc_id) ->
+    final hash agg. Replaces the reference's indexer + run writer + all
+    merge rounds (HW2/engine/indexer.py:36-49, merger.py:114-135) — the
+    tf-summing the merge does defensively is exactly the final agg here.
+    """
+    return (
+        df_tokens.select(
+            F.col(doc_id_col).alias("doc_id"), F.explode("tokens").alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def lexicon_df(postings: DataFrame) -> DataFrame:
+    """(term, df) — exact document frequency per term.
+
+    Exact count, not approx: rank-identity requires exact df
+    (HW2/engine/ranker.py:30). No skew concern: input is already one row
+    per (term, doc_id), so partial aggregation reduces each map
+    partition's contribution to one row per term before the shuffle.
+    """
+    return postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+
+def salted_term_counts(postings: DataFrame, n_salts: int = 16) -> DataFrame:
+    """(term, df) via explicit two-phase salted aggregation.
+
+    The salted pattern the north rule calls for, for engines/paths where
+    map-side combine is unavailable (e.g. counting straight off the
+    exploded token stream where one hot term would hash-skew a single
+    reducer): phase 1 groups on (term, salt) spreading each hot term over
+    ``n_salts`` reducers; phase 2 sums the (at most n_salts) partials.
+    Results are identical to ``lexicon_df``.
+    """
+    salt = (F.crc32(F.col("doc_id").cast("string")) % n_salts).alias("salt")
+    phase1 = (
+        postings.select("term", salt)
+        .groupBy("term", "salt")
+        .agg(F.count("*").alias("partial_df"))
+    )
+    return phase1.groupBy("term").agg(F.sum("partial_df").cast("long").alias("df"))
+
+
+def assign_doc_ids(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Dense, deterministic doc_id = rank of the natural key.
+
+    The reference assigns docids as sequential line numbers
+    (HW2/engine/build_runs_mp.py:83-91); the engine's analog is a dense
+    rank over the natural key (repo, path) — stable under repartitioning,
+    unlike monotonically_increasing_id (SURVEY.md §1.3).
+
+    Scale-aware implementation: range-partition by key, count rows per
+    partition (tiny driver-side cumsum), then a per-partition window —
+    parallel everywhere, never a single global sort partition.
+    """
+    from pyspark.sql import Window
+
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_part, *key_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+    )
+    w = Window.partitionBy("_pid").orderBy(*key_cols)
+    out = (
+        ranged.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("doc_id", (F.col("_offset") + F.col("_rn") - 1).cast("long"))
+        .drop("_pid", "_rn", "_offset")
+    )
+    return out

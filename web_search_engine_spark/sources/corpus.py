@@ -1,0 +1,83 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md F1).
+
+The engine's primary input table per BASELINE.json `input_hint`:
+(repo string, path string, commit string, lang string, content string).
+Seed-fixed; no external data. Designed to exercise:
+
+  (a) hot/stopword-like tokens (`the`, `i`, `0`, `import`) for skew;
+  (b) tokenizer edge cases: `u.s.`, `3.14`, `foo-bar`, HTML entities
+      (`&amp;`), mixed case (reference regex: HW2/engine/parser.py:78);
+  (c) zero-token rows (punctuation-only content) pinning the N/avgdl
+      semantics of HW2/engine/build_runs_mp.py:89-91;
+  (d) duplicate content across rows for sha256-invariant + dedup ops;
+  (e) reference-query vocabulary (`manhattan project`, `communication
+      policy`, `u.s policy`, `3.14 math`, ...) so the reference query set
+      (HW2/engine/searcher.py:254-262) returns non-empty results.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pandas as pd
+
+LANGS = ["python", "java", "go", "rust", "javascript", "c"]
+
+# Zipf-ish vocabulary: hot code tokens first, then reference-query words,
+# then a long tail.
+HOT = ["the", "i", "0", "1", "import", "def", "return", "if", "for", "self", "x"]
+QUERY_WORDS = [
+    "manhattan", "project", "bomb", "communication", "policy", "overturned",
+    "carriage", "u.s.", "3.14", "math", "machine", "learning", "archie",
+    "moore", "bash", "ali", "foo-bar",
+]
+TAIL = [f"sym{j}" for j in range(400)] + [
+    "parse", "token", "index", "merge", "shard", "query", "score", "block",
+    "heap", "buffer", "stream", "codec", "varbyte", "lexicon", "posting",
+    "cursor", "spark", "shuffle", "partition", "&amp;", "Mixed", "CASE",
+]
+VOCAB = HOT + QUERY_WORDS + TAIL
+# Zipf-like weights over the vocabulary.
+WEIGHTS = [1.0 / (r + 1) ** 0.9 for r in range(len(VOCAB))]
+
+
+def generate_corpus_pdf(n_docs: int = 400, seed: int = 42) -> pd.DataFrame:
+    """Deterministic pandas corpus; columns (repo, path, commit, lang, content)."""
+    rng = random.Random(seed)
+    rows = []
+    dup_content = "def duplicate_content(): return 42  # the the import policy\n"
+    for i in range(n_docs):
+        repo = f"org{i % 7}/project-{i % 13}"
+        path = f"src/module_{i:05d}.{rng.choice(['py', 'java', 'go', 'rs', 'js', 'c'])}"
+        commit = hashlib.sha1(f"{seed}:{repo}:{path}".encode()).hexdigest()
+        lang = LANGS[i % len(LANGS)]
+        kind = i % 23
+        if kind == 7:
+            content = " \t\n!!! ??? ***"  # zero-token row (regex finds nothing)
+        elif kind == 11:
+            content = dup_content  # exact duplicate rows
+        else:
+            n_lines = rng.randint(2, 12)
+            lines = []
+            for _ in range(n_lines):
+                n_words = rng.randint(3, 14)
+                words = rng.choices(VOCAB, weights=WEIGHTS, k=n_words)
+                lines.append(" ".join(words))
+            content = "\n".join(lines)
+        rows.append((repo, path, commit, lang, content))
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def corpus_df(spark, n_docs: int = 400, seed: int = 42):
+    """Spark DataFrame of the synthetic corpus (5-column input_hint shape)."""
+    pdf = generate_corpus_pdf(n_docs, seed)
+    return spark.createDataFrame(pdf)
+
+
+def corpus_docs(n_docs: int = 400, seed: int = 42) -> list[tuple[int, str]]:
+    """(doc_id, content) with doc_id = dense rank over (repo, path) —
+    the oracle-side mirror of operators.postings.assign_doc_ids."""
+    pdf = generate_corpus_pdf(n_docs, seed)
+    pdf = pdf.sort_values(["repo", "path"]).reset_index(drop=True)
+    return list(zip(range(len(pdf)), pdf["content"]))
