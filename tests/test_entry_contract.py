@@ -1,0 +1,73 @@
+"""Driver-contract simulation: every queries() entry must match its
+oracle_sql() via DuckDB on the same parquet (row count + sorted values),
+mirroring the driver's CORRECTNESS gate at sf=0.01."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(rows, cols):
+    """Sort columns by name and rows by value — order-insensitive compare."""
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in idx:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    assert sql is not None, f"missing oracle for {name}"
+
+    sdf = q(spark, SF_DIR)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.execute(sql)
+    d_cols = [c[0].lower() for c in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), (name, s_cols, d_cols)
+    assert len(s_rows) == len(d_rows), (name, len(s_rows), len(d_rows))
+    sn, dn = _norm(s_rows, s_cols), _norm(d_rows, d_cols)
+    for a, b in zip(sn, dn):
+        for x, y in zip(a, b):
+            if isinstance(x, float) or isinstance(y, float):
+                assert math.isclose(float(x), float(y), rel_tol=1e-6, abs_tol=1e-6), (name, a, b)
+            else:
+                assert x == y, (name, a, b)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert [c.lower() for c in df.columns] == ["rank", "doc_id", "score"]

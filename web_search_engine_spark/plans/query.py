@@ -45,27 +45,23 @@ def _query_terms_df(spark: SparkSession, queries: list[tuple[str, str]]) -> Data
     return spark.createDataFrame(rows, "query_id string, term string, weight long")
 
 
-def score_queries(
+def score_per_doc(
     postings: DataFrame,
     doc_stats: DataFrame,
     n_docs: int,
     avgdl: float,
     queries: list[tuple[str, str]],
     mode: str = "OR",
-    topk: int = DEFAULT_TOPK,
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> DataFrame:
-    """Batch BM25 top-k: -> (query_id, rank, doc_id, score).
+    """Un-ranked per-doc BM25 -> (query_id, doc_id, score).
 
     Plan shape (scale rationale):
       broadcast tiny query-term table into the postings scan (the join
-      doubles as the term filter -> Catalyst pushes `term IN (...)`-like
-      pruning into the scan) -> broadcast lexicon df counts -> join
-      doc_stats on doc_id -> one hash agg per (query_id, doc_id) ->
-      per-query window top-k (parallel across queries; for a single
-      query Spark's TakeOrderedAndProject handles it without a global
-      sort).
+      doubles as the term filter -> Catalyst prunes the scan) ->
+      broadcast per-query df counts -> join doc_stats on doc_id -> one
+      hash agg per (query_id, doc_id).
     """
     spark = postings.sparkSession
     qterms = _query_terms_df(spark, queries)
@@ -100,6 +96,28 @@ def score_queries(
         per_doc = per_doc.join(F.broadcast(n_present), "query_id").filter(
             F.col("n_matched") == F.col("n_terms_present")
         )
+    return per_doc.select("query_id", "doc_id", "score")
+
+
+def score_queries(
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    queries: list[tuple[str, str]],
+    mode: str = "OR",
+    topk: int = DEFAULT_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Batch BM25 top-k: -> (query_id, rank, doc_id, score).
+
+    Per-query window top-k (parallel across queries; for a single query
+    Spark plans TakeOrderedAndProject — no global sort).
+    """
+    per_doc = score_per_doc(
+        postings, doc_stats, n_docs, avgdl, queries, mode, k1, b
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         per_doc.withColumn("rank", F.row_number().over(w))
