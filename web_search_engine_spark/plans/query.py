@@ -13,12 +13,24 @@ plans. Semantics pinned (SURVEY.md §2.7):
   - N and avgdl include zero-length docs; dl=0 docs are never scored
     (they have no postings);
   - top-k tie policy: score desc, doc_id asc.
+
+Physical design (what the reference's lexicon-dict probe becomes):
+  1. driver-side lexicon probe — one tiny filtered scan collects df for
+     the <=dozens of distinct query terms (the reference does lex_map[t]
+     lookups, HW2/engine/searcher.py:41-50). Never re-aggregate df from
+     postings per query.
+  2. query terms + their df ship as an Arrow LocalRelation broadcast
+     (never a Python-RDD-backed DataFrame: a Scan ExistingRDD re-runs
+     Python workers on every reuse of the subtree).
+  3. one scan of postings filtered by `term IN (...)` (pushed down),
+     one join to doc_stats, one hash agg, one per-query window top-k.
 """
 
 from __future__ import annotations
 
 from collections import Counter
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -27,22 +39,21 @@ from ..functions.bm25 import bm25_term_score_col
 from ..functions.tokenizer import tokenize_query
 
 
-def _query_terms_df(spark: SparkSession, queries: list[tuple[str, str]]) -> DataFrame:
-    """(query_id, term, weight, n_terms) from raw query strings.
+def probe_lexicon(lexicon: DataFrame, terms: list[str]) -> dict[str, int]:
+    """Driver-side df lookup for query terms: term -> df.
 
-    weight = how many times the term appears in the query (duplicate
-    terms double-count in the reference scorer, HW2/engine/ranker.py:63);
-    n_terms = number of DISTINCT terms, later clipped to those present in
-    the index for the AND gate (HW2/engine/daat_ranker.py:68,108).
+    One job over the lexicon table with an IN-filter (partition-prunable
+    at scale if the lexicon is term-bucketed); result fits in hand.
     """
-    rows = []
-    for qid, q in queries:
-        counts = Counter(tokenize_query(q))
-        for term, w in counts.items():
-            rows.append((qid, term, w))
-    if not rows:
-        return spark.createDataFrame([], "query_id string, term string, weight long")
-    return spark.createDataFrame(rows, "query_id string, term string, weight long")
+    if not terms:
+        return {}
+    rows = lexicon.filter(F.col("term").isin(list(set(terms)))).collect()
+    return {r["term"]: r["df"] for r in rows}
+
+
+def _local_df(spark: SparkSession, pdf: pd.DataFrame, schema: str) -> DataFrame:
+    """Arrow-backed LocalRelation (no Python workers on re-scan)."""
+    return spark.createDataFrame(pdf, schema=schema)
 
 
 def score_per_doc(
@@ -54,31 +65,55 @@ def score_per_doc(
     mode: str = "OR",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    lexicon: DataFrame | None = None,
 ) -> DataFrame:
     """Un-ranked per-doc BM25 -> (query_id, doc_id, score).
 
-    Plan shape (scale rationale):
-      broadcast tiny query-term table into the postings scan (the join
-      doubles as the term filter -> Catalyst prunes the scan) ->
-      broadcast per-query df counts -> join doc_stats on doc_id -> one
-      hash agg per (query_id, doc_id).
+    ``lexicon`` (term, df) is probed driver-side; when None, df for the
+    query terms is computed once from postings (still a single tiny job).
     """
     spark = postings.sparkSession
-    qterms = _query_terms_df(spark, queries)
 
-    # df per term, computed only for query terms (semi-filtered first).
-    hit = postings.join(F.broadcast(qterms), "term")
-    term_df = (
-        hit.groupBy("query_id", "term", "weight")
-        .agg(F.count("*").cast("long").alias("df"))
+    weights: list[tuple[str, str, int]] = []
+    all_terms: set[str] = set()
+    for qid, q in queries:
+        for term, w in Counter(tokenize_query(q)).items():
+            weights.append((qid, term, w))
+            all_terms.add(term)
+    if not weights:
+        return spark.createDataFrame([], "query_id string, doc_id long, score double")
+
+    if lexicon is not None:
+        dfs = probe_lexicon(lexicon, sorted(all_terms))
+    else:
+        dfs = {
+            r["term"]: r["df"]
+            for r in postings.filter(F.col("term").isin(sorted(all_terms)))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .collect()
+        }
+
+    surviving = [(qid, term, w, int(dfs[term])) for qid, term, w in weights if term in dfs]
+    if not surviving:
+        return spark.createDataFrame([], "query_id string, doc_id long, score double")
+    n_present = Counter(qid for qid, _, _, _ in surviving)  # distinct surviving terms
+    # n_terms_present rides along in the same broadcast (one job fewer
+    # than a separate gate table — job count is the latency unit here).
+    rows = [(qid, t, w, df, n_present[qid]) for qid, t, w, df in surviving]
+
+    qterms = _local_df(
+        spark,
+        pd.DataFrame(
+            rows, columns=["query_id", "term", "weight", "df", "n_terms_present"]
+        ),
+        "query_id string, term string, weight long, df long, n_terms_present long",
     )
-    # AND gate denominator: distinct terms that survived the lexicon probe.
-    n_present = term_df.groupBy("query_id").agg(
-        F.count("*").cast("long").alias("n_terms_present")
-    )
+    present_terms = sorted({t for _, t, _, _, _ in rows})
 
     scored_terms = (
-        hit.join(F.broadcast(term_df.select("query_id", "term", "df")), ["query_id", "term"])
+        postings.filter(F.col("term").isin(present_terms))  # pushdown prune
+        .join(F.broadcast(qterms), "term")
         .join(doc_stats, "doc_id")
         .withColumn(
             "term_score",
@@ -91,11 +126,10 @@ def score_per_doc(
     per_doc = scored_terms.groupBy("query_id", "doc_id").agg(
         F.sum("term_score").alias("score"),
         F.count("*").cast("long").alias("n_matched"),
+        F.first("n_terms_present").alias("n_terms_present"),
     )
     if mode.upper() == "AND":
-        per_doc = per_doc.join(F.broadcast(n_present), "query_id").filter(
-            F.col("n_matched") == F.col("n_terms_present")
-        )
+        per_doc = per_doc.filter(F.col("n_matched") == F.col("n_terms_present"))
     return per_doc.select("query_id", "doc_id", "score")
 
 
@@ -109,14 +143,14 @@ def score_queries(
     topk: int = DEFAULT_TOPK,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    lexicon: DataFrame | None = None,
 ) -> DataFrame:
     """Batch BM25 top-k: -> (query_id, rank, doc_id, score).
 
-    Per-query window top-k (parallel across queries; for a single query
-    Spark plans TakeOrderedAndProject — no global sort).
+    Per-query window top-k — parallel across queries; no global sort.
     """
     per_doc = score_per_doc(
-        postings, doc_stats, n_docs, avgdl, queries, mode, k1, b
+        postings, doc_stats, n_docs, avgdl, queries, mode, k1, b, lexicon
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
@@ -136,17 +170,16 @@ def score_query(
     topk: int = DEFAULT_TOPK,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    lexicon: DataFrame | None = None,
 ) -> DataFrame:
     """Single-query BM25 top-k -> (doc_id, score), score desc, doc_id asc."""
     res = score_queries(
-        postings, doc_stats, n_docs, avgdl, [("q", query)], mode, topk, k1, b
+        postings, doc_stats, n_docs, avgdl, [("q", query)], mode, topk, k1, b, lexicon
     )
     return res.orderBy("rank").select("doc_id", "score")
 
 
-def boolean_search(
-    postings: DataFrame, query: str, mode: str = "AND"
-) -> DataFrame:
+def boolean_search(postings: DataFrame, query: str, mode: str = "AND") -> DataFrame:
     """Unranked Boolean retrieval -> (doc_id) set.
 
     AND = n-ary intersection via groupBy + HAVING count(distinct term) =
