@@ -1,0 +1,222 @@
+"""Milestone 2: physical block index — invariants, byte-compat, resume,
+and rank-identity across all four query paths."""
+
+import math
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle import OracleIndex
+from web_search_engine_spark.operators.blocks import (
+    blocks_to_postings,
+    build_block_index,
+    lexicon_from_blocks,
+)
+from web_search_engine_spark.operators.postings import (
+    assign_doc_ids,
+    build_postings,
+    with_tokens,
+)
+from web_search_engine_spark.plans.build_index import build_index
+from web_search_engine_spark.plans.query import score_queries
+from web_search_engine_spark.plans.search import SearchEngine, batch_score
+from web_search_engine_spark.sources.corpus import corpus_df, corpus_docs
+
+QUERIES = [
+    ("q2", "communication policy"),
+    ("q3", "manhattan project"),
+    ("q4", "manhattan project bomb"),
+    ("q5", "u.s policy"),
+    ("q6", "3.14 math"),
+    ("q8", "machine learning"),
+    ("q9", "communication"),
+    ("q10", "the the import"),
+]
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index"))
+    src = corpus_df(spark, n_docs=400, seed=42)
+    build_index(spark, src, d, codec="varbyte", block_size=16, num_shards=4)
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return OracleIndex(corpus_docs(400, 42))
+
+
+def _reference_spec_blocks(postings_by_term, block_size=16):
+    """Scalar writer implementing the published reference block format
+    (HW2/engine/listio.py:44-79) — an independent second implementation
+    used to pin byte-compatibility of the Spark-built payloads."""
+
+    def vb(x):
+        out = bytearray()
+        while True:
+            byte = x & 0x7F
+            x >>= 7
+            if x == 0:
+                out.append(byte | 0x80)
+                return bytes(out)
+            out.append(byte)
+
+    result = {}
+    for term, postings in postings_by_term.items():
+        items = sorted(postings.items())
+        blocks = []
+        prev_last = 0
+        for i in range(0, len(items), block_size):
+            chunk = items[i : i + block_size]
+            docids = [d for d, _ in chunk]
+            freqs = [f for _, f in chunk]
+            doc_bytes = bytearray()
+            prev = prev_last
+            for d in docids:
+                doc_bytes += vb(d - prev)
+                prev = d
+            freq_bytes = b"".join(vb(f) for f in freqs)
+            blocks.append((docids[-1], bytes(doc_bytes), freq_bytes))
+            prev_last = docids[-1]
+        result[term] = blocks
+    return result
+
+
+def test_block_invariants(spark, index_dir, oracle):
+    blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    rows = blocks.collect()
+    by_term_shard = {}
+    for r in rows:
+        assert 1 <= r["n"] <= 16
+        assert r["max_tf"] >= 1
+        by_term_shard.setdefault((r["term"], r["shard"]), []).append(r)
+    for (term, _shard), rs in by_term_shard.items():
+        rs.sort(key=lambda r: r["block_id"])
+        assert [r["block_id"] for r in rs] == list(range(len(rs)))
+        lasts = [r["last_docid"] for r in rs]
+        assert lasts == sorted(lasts)
+        # base chain: block 0 base 0, then previous last_docid
+        assert rs[0]["base_docid"] == 0
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur["base_docid"] == prev["last_docid"]
+    # sum(n) over blocks == df
+    lex = {r["term"]: r["df"] for r in lexicon_from_blocks(blocks).collect()}
+    assert lex == oracle.df
+
+
+def test_byte_compat_single_shard(spark, oracle):
+    """num_shards=1 payloads are byte-identical to the reference format."""
+    src = assign_doc_ids(corpus_df(spark, n_docs=400, seed=42), ["repo", "path"])
+    postings = build_postings(with_tokens(src, "content"))
+    blocks = build_block_index(postings, block_size=16, codec="varbyte", shard_size=None)
+    got = {}
+    for r in blocks.collect():
+        got.setdefault(r["term"], []).append(r)
+    want = _reference_spec_blocks(oracle.index, block_size=16)
+    assert set(got) == set(want)
+    for term, wblocks in want.items():
+        grs = sorted(got[term], key=lambda r: r["block_id"])
+        assert len(grs) == len(wblocks), term
+        for gr, (wlast, wdoc, wfreq) in zip(grs, wblocks):
+            assert gr["last_docid"] == wlast, term
+            assert bytes(gr["doc_bytes"]) == wdoc, term
+            assert bytes(gr["freq_bytes"]) == wfreq, term
+
+
+def test_index_tables_consistent(spark, index_dir, oracle):
+    blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    decoded = blocks_to_postings(blocks, codec="varbyte")
+    got = {}
+    for r in decoded.collect():
+        got.setdefault(r["term"], {})[r["doc_id"]] = r["tf"]
+    assert got == dict(oracle.index)
+    # doc_stats == oracle doc_lengths; dl == sum(tf)
+    ds = {r["doc_id"]: r["dl"] for r in
+          spark.read.parquet(os.path.join(index_dir, "doc_stats")).collect()}
+    assert ds == oracle.doc_lengths
+    from_postings = {
+        r["doc_id"]: r["dl"]
+        for r in decoded.groupBy("doc_id").agg(F.sum("tf").alias("dl")).collect()
+    }
+    nonzero = {d: l for d, l in oracle.doc_lengths.items() if l > 0}
+    assert from_postings == nonzero
+
+
+def test_sha256_invariant_in_doc_map(spark, index_dir):
+    src = assign_doc_ids(corpus_df(spark, n_docs=400, seed=42), ["repo", "path"])
+    want = {r["doc_id"]: r["h"] for r in
+            src.select("doc_id", F.sha2("content", 256).alias("h")).collect()}
+    got = {r["doc_id"]: r["content_sha256"] for r in
+           spark.read.parquet(os.path.join(index_dir, "doc_map")).collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize("mode", ["OR", "AND"])
+def test_rank_identity_all_paths(spark, index_dir, oracle, mode):
+    """oracle == SearchEngine(WAND) == SearchEngine(unpruned) ==
+    distributed batch_score over the index."""
+    eng = SearchEngine(index_dir)
+    from web_search_engine_spark.sources.catalog import IndexCatalog
+
+    cat = IndexCatalog(spark, index_dir)
+    batch = batch_score(cat, QUERIES, mode=mode, topk=10)
+    by_q = {}
+    for r in batch.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+
+    for qid, query in QUERIES:
+        want = oracle.search(query, mode=mode, topk=10)
+        wand = eng.search(query, mode=mode, topk=10, use_wand=True)
+        plain = eng.search(query, mode=mode, topk=10, use_wand=False)
+        dist = [(d, s) for _, d, s in sorted(by_q.get(qid, []))]
+        for name, got in [("wand", wand), ("plain", plain), ("batch", dist)]:
+            assert len(got) == len(want), (qid, name, len(got), len(want))
+            for (gd, gs), (od, os_) in zip(got, want):
+                assert gd == od, (qid, name, mode, gd, od)
+                assert math.isclose(gs, os_, rel_tol=1e-9), (qid, name, gd)
+
+
+def test_wand_matches_unpruned_on_random_queries(index_dir, oracle):
+    """bench_search.py pattern: random 2-term queries sampled from the
+    lexicon (seed 1234) — WAND must equal unpruned exactly."""
+    import random
+
+    eng = SearchEngine(index_dir)
+    rng = random.Random(1234)
+    vocab = sorted(oracle.index)
+    for _ in range(60):
+        q = f"{rng.choice(vocab)} {rng.choice(vocab)}"
+        a = eng.search(q, mode="OR", topk=10, use_wand=True)
+        b = eng.search(q, mode="OR", topk=10, use_wand=False)
+        assert [d for d, _ in a] == [d for d, _ in b], q
+        for (_, sa), (_, sb) in zip(a, b):
+            assert math.isclose(sa, sb, rel_tol=1e-12), q
+
+
+def test_resume_produces_identical_index(spark, tmp_path):
+    """Kill-and-resume: shards built in two attempts equal a clean build."""
+    src = corpus_df(spark, n_docs=400, seed=42)
+    clean_dir = str(tmp_path / "clean")
+    build_index(spark, src, clean_dir, block_size=16, num_shards=4)
+
+    resumed_dir = str(tmp_path / "resumed")
+    # attempt 1: only shards {0, 1} (simulate a kill by restricting input)
+    docs = assign_doc_ids(src, ["repo", "path"])
+    n_docs = docs.count()
+    shard_size = -(-n_docs // 4)
+    partial = docs.filter((F.col("doc_id") / shard_size).cast("int") < 2).drop("doc_id")
+    build_index(spark, partial, resumed_dir, block_size=16, num_shards=2)
+    # the partial build wrote shards 0-1 and its manifest rows; attempt 2
+    # resumes over the FULL source and must only build shards 2-3
+    build_index(spark, src, resumed_dir, block_size=16, num_shards=4)
+
+    for sub in ["blocks", "doc_stats"]:
+        a = spark.read.parquet(os.path.join(clean_dir, sub))
+        b = spark.read.parquet(os.path.join(resumed_dir, sub))
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, sub
+    manifest = spark.read.parquet(os.path.join(resumed_dir, "manifest"))
+    assert {r["shard"] for r in manifest.collect()} == {0, 1, 2, 3}

@@ -22,11 +22,17 @@ from __future__ import annotations
 import numpy as np
 
 
-def vb_encode(values: np.ndarray) -> bytes:
-    """Varbyte-encode an array of non-negative ints (MSB-on-last-byte)."""
+def vb_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Varbyte-encode an array; also return per-value byte lengths.
+
+    Because the format is strictly per-value, the concatenation of any
+    slice of values encodes to the corresponding byte slice — callers
+    (the block builder) encode a whole Arrow batch in ONE call and cut
+    block payloads at cumulative-length boundaries.
+    """
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     if values is not v and np.any(np.asarray(values) < 0):
         raise ValueError("varbyte requires non-negative integers")
     nbytes = np.ones(v.size, dtype=np.int64)
@@ -43,7 +49,12 @@ def vb_encode(values: np.ndarray) -> bytes:
             np.uint8
         )
     out[ends - 1] |= 0x80
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Varbyte-encode an array of non-negative ints (MSB-on-last-byte)."""
+    return vb_encode_with_lengths(values)[0]
 
 
 def vb_decode(data: bytes | np.ndarray) -> np.ndarray:

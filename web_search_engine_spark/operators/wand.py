@@ -1,0 +1,319 @@
+"""Document-at-a-time BM25 scoring with block-max WAND pruning.
+
+The interactive query path (north star): single queries score on the
+driver over the handful of posting lists the query touches — the same
+shape as the reference's cursor machinery (HW2/engine/daat.py,
+postings_cursor.py, daat_ranker.py), reimplemented over the block-row
+table with numpy block decodes and searchsorted seeks. The distributed
+batch path for query SETS lives in plans/query.py; both produce
+rank-identical results (tested).
+
+Pruning is rank-safe INCLUDING the (score desc, doc_id asc) tie policy:
+docids are visited in increasing order, so a later candidate whose score
+merely EQUALS the current kth best can never enter the top-k (the
+incumbent has the smaller doc_id) — pruning when upper_bound <= theta is
+therefore exact, not approximate. Block upper bounds use
+ub = idf * (k1+1)*max_tf / (max_tf + k1*(1-b)), a true bound because the
+omitted b*dl/avgdl term only grows the denominator (SURVEY.md §4) and
+the bound is increasing in tf.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+
+from ..config import BM25_B, BM25_K1, DEFAULT_TOPK
+from ..functions import codec as C
+from ..functions.tokenizer import tokenize_query
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+class BlockCursor:
+    """Cursor over one term's blocks, ordered by (shard, block_id).
+
+    Blocks decode lazily; next_ge seeks via binary search on the
+    last_docid directory (the reference's seek_block_ge,
+    HW2/engine/listio.py:186-196) then searchsorted within the block.
+    """
+
+    __slots__ = (
+        "term", "df", "idf", "blocks", "codec", "k1", "b",
+        "bi", "pos", "_docids", "_tfs", "last_docids", "block_ubs", "term_ub",
+    )
+
+    def __init__(self, term, df, blocks, codec, n_docs, k1=BM25_K1, b=BM25_B):
+        self.term = term
+        self.df = df
+        self.idf = bm25_idf(n_docs, df)
+        # blocks: list of (last_docid, base_docid, max_tf, doc_bytes, freq_bytes)
+        self.blocks = blocks
+        self.codec = codec
+        self.k1 = k1
+        self.b = b
+        self.last_docids = np.array([blk[0] for blk in blocks], dtype=np.int64)
+        mtf = np.array([blk[2] for blk in blocks], dtype=np.float64)
+        self.block_ubs = self.idf * (mtf * (k1 + 1.0)) / (mtf + k1 * (1.0 - b))
+        self.term_ub = float(self.block_ubs.max()) if len(blocks) else 0.0
+        self.bi = -1
+        self.pos = 0
+        self._docids = None
+        self._tfs = None
+        self._load(0)
+
+    def _load(self, bi: int) -> None:
+        if bi >= len(self.blocks):
+            self.bi = len(self.blocks)
+            self._docids = None
+            return
+        last, base, _mtf, db, fb = self.blocks[bi]
+        d, f = C.decode_block(db, fb, int(base), self.codec)
+        self.bi = bi
+        self.pos = 0
+        self._docids = d
+        self._tfs = f
+
+    def exhausted(self) -> bool:
+        return self._docids is None
+
+    def docid(self) -> int | None:
+        if self._docids is None:
+            return None
+        return int(self._docids[self.pos])
+
+    def tf(self) -> int:
+        return int(self._tfs[self.pos])
+
+    def block_ub(self) -> float:
+        return float(self.block_ubs[self.bi]) if self._docids is not None else 0.0
+
+    def block_last(self) -> int:
+        return int(self.last_docids[self.bi])
+
+    def advance(self) -> int | None:
+        if self._docids is None:
+            return None
+        self.pos += 1
+        if self.pos >= len(self._docids):
+            self._load(self.bi + 1)
+        return self.docid()
+
+    def next_ge(self, target: int) -> int | None:
+        if self._docids is None:
+            return None
+        if target <= int(self._docids[self.pos]):
+            return self.docid()
+        if target > int(self.last_docids[self.bi]):
+            # directory binary search: first block with last_docid >= target
+            nb = int(np.searchsorted(self.last_docids, target, side="left"))
+            if nb >= len(self.blocks):
+                self._load(len(self.blocks))
+                return None
+            self._load(nb)
+        self.pos = int(np.searchsorted(self._docids, target, side="left"))
+        if self.pos >= len(self._docids):  # defensive; cannot happen
+            self._load(self.bi + 1)
+        return self.docid()
+
+    def score_current(self, dl: float, avgdl: float) -> float:
+        tf = float(self._tfs[self.pos])
+        denom = tf + self.k1 * (1.0 - self.b + self.b * (dl / avgdl))
+        return self.idf * (tf * (self.k1 + 1.0)) / denom
+
+
+class _TopK:
+    """Size-k min-heap keyed (score, -doc_id): among equal scores the
+    LARGEST doc_id is evicted first, so survivors match the engine's
+    (score desc, doc_id asc) policy."""
+
+    __slots__ = ("k", "heap")
+
+    def __init__(self, k: int):
+        self.k = k
+        self.heap: list[tuple[float, int, int]] = []
+
+    def offer(self, score: float, doc_id: int) -> None:
+        key = (score, -doc_id, doc_id)
+        if len(self.heap) < self.k:
+            heapq.heappush(self.heap, key)
+        elif key > self.heap[0]:
+            heapq.heapreplace(self.heap, key)
+
+    def theta(self) -> float:
+        return self.heap[0][0] if len(self.heap) >= self.k else float("-inf")
+
+    def full(self) -> bool:
+        return len(self.heap) >= self.k
+
+    def result(self) -> list[tuple[int, float]]:
+        return [
+            (doc_id, score)
+            for score, _negid, doc_id in sorted(self.heap, key=lambda t: (-t[0], t[2]))
+        ]
+
+
+def _score_tied(cursors, tied, d, dl_lookup, avgdl, weights):
+    dl = float(dl_lookup[d])
+    if dl <= 0.0:
+        return None  # dl=0 docs are skipped (daat_ranker.py:121-123)
+    s = 0.0
+    for i in tied:
+        s += weights[i] * cursors[i].score_current(dl, avgdl)
+    return s
+
+
+def daat_or_unpruned(cursors, weights, dl_lookup, avgdl, topk):
+    """Exhaustive DAAT OR — mirror of HW2/engine/daat_ranker.py:99-141."""
+    heap = [(c.docid(), i) for i, c in enumerate(cursors) if not c.exhausted()]
+    heapq.heapify(heap)
+    top = _TopK(topk)
+    while heap:
+        d, i = heapq.heappop(heap)
+        tied = [i]
+        while heap and heap[0][0] == d:
+            _, j = heapq.heappop(heap)
+            tied.append(j)
+        s = _score_tied(cursors, tied, d, dl_lookup, avgdl, weights)
+        if s is not None:
+            top.offer(s, d)
+        for idx in tied:
+            nxt = cursors[idx].advance()
+            if nxt is not None:
+                heapq.heappush(heap, (nxt, idx))
+    return top.result()
+
+
+def daat_and(cursors, weights, dl_lookup, avgdl, topk):
+    """Intersection DAAT with galloping next_ge (HW2/engine/daat.py:21-59
+    shape), driven from the rarest term (O8 heuristic)."""
+    if not cursors:
+        return []
+    order = sorted(range(len(cursors)), key=lambda i: cursors[i].df)
+    cs = [cursors[i] for i in order]
+    ws = [weights[i] for i in order]
+    top = _TopK(topk)
+    d = cs[0].docid()
+    while d is not None:
+        target = d
+        for c in cs[1:]:
+            nd = c.next_ge(target)
+            if nd is None:
+                return top.result()
+            if nd != target:
+                target = nd
+                break
+        else:
+            s = _score_tied(cs, range(len(cs)), target, dl_lookup, avgdl, ws)
+            if s is not None:
+                top.offer(s, target)
+            d = cs[0].advance()
+            continue
+        d = cs[0].next_ge(target)
+    return top.result()
+
+
+def wand_or(cursors, weights, dl_lookup, avgdl, topk, block_max=True):
+    """Block-max WAND top-k for OR queries (rank-safe, tie-safe).
+
+    Term upper bounds select the pivot (Broder et al.); per-block upper
+    bounds then refine the decision and enable jumps past block
+    boundaries (Ding & Suel BMW).
+    """
+    live = [c for c in cursors if not c.exhausted()]
+    w = {id(c): weights[i] for i, c in enumerate(cursors)}
+    top = _TopK(topk)
+    while live:
+        live = [c for c in live if not c.exhausted()]
+        if not live:
+            break
+        live.sort(key=lambda c: c.docid())
+        theta = top.theta()
+        # pivot: first prefix whose term-ub sum could beat theta
+        acc = 0.0
+        pivot = -1
+        for i, c in enumerate(live):
+            acc += w[id(c)] * c.term_ub
+            if not top.full() or acc > theta:
+                pivot = i
+                break
+        if pivot < 0:
+            break  # no prefix can beat theta -> done
+        pivot_doc = live[pivot].docid()
+        if live[0].docid() == pivot_doc:
+            # everything in live[0..P] sits at pivot_doc (P >= pivot)
+            P = pivot
+            while P + 1 < len(live) and live[P + 1].docid() == pivot_doc:
+                P += 1
+            prefix = live[: P + 1]
+            if block_max and top.full():
+                # refine with CURRENT block bounds before paying the score
+                bm = sum(w[id(c)] * c.block_ub() for c in prefix)
+                if bm <= theta:
+                    # Docs in [pivot_doc, jump) can only draw from the
+                    # prefix cursors' current blocks (bounded by bm), so
+                    # the whole range is skippable — but the jump must
+                    # stop at the next cursor's docid (Ding & Suel BMW:
+                    # beyond it another term's contributions apply).
+                    jump = min(c.block_last() for c in prefix) + 1
+                    if P + 1 < len(live):
+                        jump = min(jump, live[P + 1].docid())
+                    for c in prefix:
+                        c.next_ge(jump)
+                    continue
+            s = _score_tied(
+                prefix, range(len(prefix)), pivot_doc, dl_lookup, avgdl,
+                [w[id(c)] for c in prefix],
+            )
+            if s is not None:
+                top.offer(s, pivot_doc)
+            for c in prefix:
+                c.advance()
+        else:
+            # advance the leading cursors up to the pivot document
+            for c in live[:pivot]:
+                c.next_ge(pivot_doc)
+    return top.result()
+
+
+def search_blocks(
+    block_rows: dict[str, list],
+    term_dfs: dict[str, int],
+    codec: str,
+    dl_lookup: np.ndarray,
+    n_docs: int,
+    avgdl: float,
+    query: str,
+    mode: str = "OR",
+    topk: int = DEFAULT_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    use_wand: bool = True,
+) -> list[tuple[int, float]]:
+    """Score a query given collected block rows per term.
+
+    block_rows[term] = [(shard, block_id, last_docid, base_docid, max_tf,
+    doc_bytes, freq_bytes)] in any order; sorted here by (shard, block_id)
+    which is global docid order.
+    """
+    from collections import Counter
+
+    q = tokenize_query(query)
+    counts = Counter(t for t in q if t in block_rows and term_dfs.get(t))
+    if not counts:
+        return []
+    cursors, weights = [], []
+    for term, wgt in counts.items():
+        rows = sorted(block_rows[term], key=lambda r: (r[0], r[1]))
+        blocks = [(r[2], r[3], r[4], r[5], r[6]) for r in rows]
+        cursors.append(BlockCursor(term, term_dfs[term], blocks, codec, n_docs, k1, b))
+        weights.append(float(wgt))
+    if mode.upper() == "AND":
+        return daat_and(cursors, weights, dl_lookup, avgdl, topk)
+    if use_wand:
+        return wand_or(cursors, weights, dl_lookup, avgdl, topk)
+    return daat_or_unpruned(cursors, weights, dl_lookup, avgdl, topk)

@@ -1,0 +1,145 @@
+"""End-to-end resumable index build.
+
+Replaces the reference's three CLI stages (build_runs_mp -> parallel_merge
+-> merger, SURVEY.md §3.1) with one declarative pipeline:
+
+  read source -> sha256 + tokenize (pandas_udf) -> explode ->
+  groupBy(term, doc_id).count() -> repartitionByRange(shard, term) +
+  sortWithinPartitions + mapInPandas block build -> parquet tables
+
+Resumability (north rule): the SHARD (a doc_id range) is the checkpoint
+unit. Every attempt writes only the shards missing from manifest/, using
+dynamic partition overwrite (partial output from a killed attempt is
+replaced wholesale, completed shards are never touched or re-tokenized).
+A shard's manifest row is appended only after its data is fully written,
+with lineage (row counts, source fingerprint) + build metrics.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import BLOCK_SIZE, CODEC_VARBYTE
+from ..operators.blocks import build_block_index, lexicon_from_blocks
+from ..operators.postings import assign_doc_ids, build_postings, doc_stats, with_tokens
+from ..sources.catalog import IndexCatalog, write_stats
+
+
+def _completed_shards(spark: SparkSession, index_dir: str) -> set[int]:
+    path = os.path.join(index_dir, "manifest")
+    try:
+        return {r["shard"] for r in spark.read.parquet(path).select("shard").collect()}
+    except Exception:
+        return set()
+
+
+def build_index(
+    spark: SparkSession,
+    source: DataFrame,
+    index_dir: str,
+    codec: str = CODEC_VARBYTE,
+    block_size: int = BLOCK_SIZE,
+    num_shards: int = 8,
+    tokenizer: str = "pandas",
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    text_col: str = "content",
+    resume: bool = True,
+) -> IndexCatalog:
+    """Build (or resume) the blocked index under ``index_dir``."""
+    t_start = time.time()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # Deterministic docids: dense rank over the natural key — identical
+    # across resume attempts (SURVEY.md §1.3).
+    docs = assign_doc_ids(source, list(key_cols))
+    n_docs = docs.count()
+    shard_size = max(1, -(-n_docs // num_shards))  # ceil
+    docs = docs.withColumn(
+        "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
+    )
+
+    all_shards = set(range(-(-n_docs // shard_size)))
+    done = _completed_shards(spark, index_dir) if resume else set()
+    pending = sorted(all_shards - done)
+
+    if pending:
+        work = docs.filter(F.col("shard").isin(pending))
+        toks = with_tokens(work, text_col, method=tokenizer)
+
+        # doc-level tables first (cheap projections off the tokenize pass)
+        stats_df = toks.select(
+            "shard", "doc_id", F.size("tokens").cast("long").alias("dl")
+        )
+        stats_df.write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(index_dir, "doc_stats")
+        )
+        doc_map = toks.select(
+            "shard", "doc_id", *key_cols,
+            *(["commit"] if "commit" in source.columns else []),
+            *(["lang"] if "lang" in source.columns else []),
+            F.sha2(F.col(text_col), 256).alias("content_sha256"),
+        )
+        doc_map.write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(index_dir, "doc_map")
+        )
+
+        # postings -> blocks (the shuffle IS the merge); shard is
+        # derived from doc_id inside build_block_index with the same
+        # shard_size, so no join back to docs is needed.
+        blocks = build_block_index(
+            build_postings(toks),
+            block_size=block_size,
+            codec=codec,
+            shard_size=shard_size,
+        )
+        blocks.write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(index_dir, "blocks")
+        )
+
+        # manifest: lineage + metrics per completed shard, appended last
+        built = spark.read.parquet(os.path.join(index_dir, "blocks")).filter(
+            F.col("shard").isin(pending)
+        )
+        per_shard = built.groupBy("shard").agg(
+            F.sum("n").cast("long").alias("n_postings"),
+            F.count("*").cast("long").alias("n_blocks"),
+        )
+        shard_docs = (
+            spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+            .filter(F.col("shard").isin(pending))
+            .groupBy("shard")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+        )
+        manifest = (
+            per_shard.join(shard_docs, "shard", "full")
+            .na.fill(0)
+            .withColumn("build_sec", F.lit(round(time.time() - t_start, 3)))
+            .withColumn("finished_ts", F.current_timestamp())
+            .withColumn("codec", F.lit(codec))
+            .withColumn("block_size", F.lit(block_size))
+        )
+        manifest.write.mode("append").parquet(os.path.join(index_dir, "manifest"))
+
+    # global derived tables (cheap, rebuilt from blocks each time)
+    all_blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    lexicon_from_blocks(all_blocks).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "lexicon")
+    )
+    ds = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+    row = ds.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    write_stats(
+        index_dir,
+        {
+            "n_docs": int(row["n"]),
+            "avgdl": float(row["avgdl"] or 0.0),
+            "codec": codec,
+            "block_size": block_size,
+            "shard_size": shard_size,
+            "built_unix": time.time(),
+        },
+    )
+    return IndexCatalog(spark, index_dir)

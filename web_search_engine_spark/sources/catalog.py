@@ -1,0 +1,76 @@
+"""Index table catalog — parquet layout + stats + build manifest.
+
+On a cluster these would be Iceberg tables (the north rule's target);
+in the sandbox they are parquet directories with the same logical
+schema. Layout under <index_dir>/:
+
+  blocks/      block rows (operators/blocks.BLOCK_SCHEMA), written
+               range-partitioned + sorted by (shard, term) so parquet
+               row-group min/max stats prune `term IN (...)` scans —
+               the table-format analog of the reference's lexicon byte
+               offsets + block directory binary search
+               (HW2/engine/listio.py:176-196).
+  lexicon/     (term, df, nblocks, max_tf)
+  doc_stats/   (doc_id, dl)
+  doc_map/     (doc_id, repo, path, commit, lang, content_sha256) —
+               per-row invariant vs the source table (input_hint).
+  stats.json   {n_docs, avgdl, codec, block_size, shard_size}
+  manifest/    (shard, n_docs, n_postings, n_blocks, finished_ts) —
+               one row per COMPLETED shard; the resume checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_stats(index_dir: str, stats: dict) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, "stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, "stats.json"))  # atomic commit
+
+
+def read_stats(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        return json.load(f)
+
+
+class IndexCatalog:
+    """Read-side handle on a built index."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.stats = read_stats(index_dir)
+
+    @property
+    def n_docs(self) -> int:
+        return int(self.stats["n_docs"])
+
+    @property
+    def avgdl(self) -> float:
+        return float(self.stats["avgdl"])
+
+    @property
+    def codec(self) -> str:
+        return self.stats["codec"]
+
+    def blocks(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "blocks"))
+
+    def lexicon(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "lexicon"))
+
+    def doc_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "doc_stats"))
+
+    def doc_map(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "doc_map"))
+
+    def manifest(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "manifest"))
