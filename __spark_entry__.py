@@ -17,6 +17,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from web_search_engine_spark.config import TOKEN_RE
+from web_search_engine_spark.operators import dedup as _dedup
+from web_search_engine_spark.operators import multimodal as _mm
+from web_search_engine_spark.operators import similarity as _sim
+from web_search_engine_spark.operators import textstats as _ts
 from web_search_engine_spark.operators.postings import (
     build_postings,
     corpus_stats,
@@ -103,7 +107,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_or": lambda spark, sf: boolean_search(
             _postings(spark, sf), Q_BOOL_OR, "OR"
         ),
+        # ---- training-data pipeline operators (beyond the reference) ----
+        # dedup: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+        "exact_dups": lambda spark, sf: _dedup.exact_duplicates(_docs(spark, sf)),
+        "minhash_sigs": lambda spark, sf: _dedup.minhash_signatures(_docs(spark, sf)),
+        "lsh_pairs": lambda spark, sf: _dedup.minhash_lsh_pairs(_docs(spark, sf)),
+        "simhash": lambda spark, sf: _dedup.simhash(_docs(spark, sf)),
+        "simhash_pairs": lambda spark, sf: _dedup.simhash_near_pairs(_docs(spark, sf)),
+        "ngram_pairs": lambda spark, sf: _dedup.ngram_jaccard_pairs(_docs(spark, sf)),
+        "emb_near_dup": lambda spark, sf: _dedup.embedding_near_dup_pairs(
+            _emb(spark, sf), threshold=0.35
+        ),
+        # similarity search: exact brute-force; LSH variant is rows-only
+        "cosine_topk": lambda spark, sf: _sim.cosine_topk(_emb(spark, sf), 0, 10),
+        "cosine_topk_batch": lambda spark, sf: _sim.cosine_topk_batch(
+            _emb(spark, sf), [0, 1, 2, 3], 10
+        ),
+        "ann_lsh_topk": lambda spark, sf: _sim.ann_lsh_topk(
+            _emb(spark, sf), [0, 1, 2, 3], 10
+        ),
+        # text analysis
+        "lang_id": lambda spark, sf: _ts.language_id(_docs(spark, sf)),
+        "quality": lambda spark, sf: _ts.quality_score(_docs(spark, sf)),
+        "token_counts": lambda spark, sf: _ts.token_counts(_docs(spark, sf)),
+        "fingerprint": lambda spark, sf: _ts.doc_fingerprint(_docs(spark, sf)),
+        # multimodal plumbing (binary payloads; deterministic fake decode)
+        "media_features": lambda spark, sf: _mm.extract_media_features(
+            _mm.synthesize_media(spark, 200)
+        ),
+        "media_frame_sample": lambda spark, sf: _mm.sample_frames(
+            _mm.extract_media_features(_mm.synthesize_media(spark, 200))
+        ),
     }
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 # ---------------------------------------------------------------- oracle SQL
@@ -189,8 +228,195 @@ HAVING count(DISTINCT term) = (SELECT count(*) FROM present)
 """
 
 
-def oracle_sql() -> dict[str, str]:
+_TOKS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+_SHINGLES = f"""
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+  WHERE len(t) >= 3
+)
+"""
+_SIGS = f"""
+{_SHINGLES},
+sigs AS (
+  SELECT doc_id, perm,
+         list_aggregate(list_transform(shingles, s -> md5(perm::VARCHAR || ':' || s)), 'min') AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS perm)
+)
+"""
+_JACCARD = (
+    "round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE"
+    " / (len(sa.shingles) + len(sb.shingles)"
+    " - len(list_intersect(sa.shingles, sb.shingles))), 6)"
+)
+_SIMHASH_CTE = f"""
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+),
+per AS (
+  SELECT doc_id, bit, sum(((h >> bit) & 1) * 2 - 1) AS s
+  FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS bit)
+  GROUP BY doc_id, bit
+),
+sim AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+  FROM per GROUP BY doc_id
+)
+"""
+_LANGSETS = {
+    "en": "['the','a','of','and','to','in','is','it','that','for']",
+    "de": "['der','die','das','und','ist','nicht','ein','mit','auf','zu']",
+    "es": "['el','la','de','que','y','en','un','por','con','para']",
+    "fr": "['le','la','et','les','des','est','dans','pour','que','une']",
+}
+_FP_POWS = [pow(131, j, 1_000_000_007) for j in range(32)]
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    votes = ", ".join(
+        f"len(list_filter(t, x -> list_contains({arr}, x)))::BIGINT AS vote_{lg}"
+        for lg, arr in _LANGSETS.items()
+    )
     return {
+        "exact_dups": """
+SELECT doc_id, md5(text) AS digest,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
+       count(*) OVER (PARTITION BY md5(text))::BIGINT AS group_size
+FROM documents
+""",
+        "minhash_sigs": f"WITH {_SIGS} SELECT doc_id, perm, minhash FROM sigs",
+        "lsh_pairs": f"""
+WITH {_SIGS},
+bands AS (
+  SELECT doc_id, (perm // 2)::INT AS band,
+         md5(string_agg(minhash, '|' ORDER BY minhash)) AS bh
+  FROM sigs GROUP BY doc_id, (perm // 2)::INT
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+)
+SELECT a, b, {_JACCARD} AS jaccard
+FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+WHERE {_JACCARD} >= 0.5
+""",
+        "simhash": f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sim",
+        "simhash_pairs": f"""
+WITH {_SIMHASH_CTE},
+chunks AS (
+  SELECT doc_id, simhash, ci, (simhash >> (ci * 4)) & 15 AS cv
+  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS ci)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
+  FROM chunks x JOIN chunks y ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id
+)
+SELECT a, b, bit_count(xor(sa, sb))::INT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 2
+""",
+        "ngram_pairs": f"""
+WITH {_SHINGLES}
+SELECT sa.doc_id AS a, sb.doc_id AS b, {_JACCARD} AS jaccard
+FROM sh sa, sh sb
+WHERE sa.doc_id < sb.doc_id AND sa.doc_id < 100 AND sb.doc_id < 100
+  AND {_JACCARD} >= 0.3
+""",
+        "emb_near_dup": """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+""",
+        "cosine_topk": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 6) AS cosine
+  FROM embeddings, q WHERE vec_id != 0
+)
+SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank, vec_id, cosine
+FROM scored ORDER BY rank LIMIT 10
+""",
+        "cosine_topk_batch": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS cosine
+  FROM embeddings e, q WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+""",
+        "lang_id": f"""
+WITH v AS (
+  SELECT doc_id, {votes}
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+)
+SELECT doc_id, vote_en, vote_de, vote_es, vote_fr,
+       CASE WHEN vote_en >= vote_de AND vote_en >= vote_es AND vote_en >= vote_fr THEN 'en'
+            WHEN vote_de >= vote_es AND vote_de >= vote_fr THEN 'de'
+            WHEN vote_es >= vote_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM v
+""",
+        "quality": f"""
+WITH base AS (
+  SELECT doc_id,
+         len(t)::BIGINT AS n_tokens,
+         CASE WHEN len(t) > 0
+              THEN round(len(list_filter(t, x -> list_contains({_LANGSETS['en']}, x)))::DOUBLE / len(t), 6)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN length(text) > 0
+              THEN round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE / length(text), 6)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(t) > 0
+              THEN round(list_aggregate(list_transform(t, x -> length(x)::DOUBLE), 'sum') / len(t), 6)
+              ELSE 0.0 END AS mean_token_len
+  FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+)
+SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, mean_token_len,
+       round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct_ratio)
+             + 0.2 * least(4.0 * stopword_ratio, 1.0)
+             + 0.1 * least(mean_token_len / 8.0, 1.0), 6) AS quality
+FROM base
+""",
+        "token_counts": f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0))::BIGINT AS n_ws,
+       len({_TOKS})::BIGINT AS n_regex,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_bpe_ish
+FROM documents
+""",
+        "fingerprint": f"""
+WITH e AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS i
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+)
+SELECT doc_id,
+       (sum(((('0x' || substr(md5(tok), 1, 8))::BIGINT % 1000000007)
+             * ([{', '.join(str(p) for p in _FP_POWS)}])[(i % 32) + 1]) % 1000000007)::BIGINT
+        % 1000000007) AS fingerprint
+FROM e GROUP BY doc_id
+""",
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    # NOTE: ann_lsh_topk, media_features, media_frame_sample carry no
+    # oracle (LSH bucketing / binary payloads are not SQL-expressible);
+    # the driver records rows-only checks and pytest asserts their
+    # semantics (ANN recall vs brute force; decode plumbing).
+    out = _pipeline_oracles()
+    out.update({
         "tf_postings": f"WITH {_CTES} SELECT term, doc_id, tf FROM tf",
         "lexicon": f"WITH {_CTES} SELECT term, df FROM dft",
         "doc_stats": f"WITH {_CTES} SELECT doc_id, dl FROM dl",
@@ -202,4 +428,5 @@ def oracle_sql() -> dict[str, str]:
         "bm25_dup_terms": _bm25_sql(Q_DUP, "OR"),
         "boolean_and": _boolean_sql(Q_BOOL_AND, "AND"),
         "boolean_or": _boolean_sql(Q_BOOL_OR, "OR"),
-    }
+    })
+    return out

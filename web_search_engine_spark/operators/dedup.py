@@ -1,0 +1,260 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's capabilities (it has none of these) — the
+operations a 100 TB corpus pipeline needs before indexing. All are
+pure-JVM column expressions (whole-stage codegen, no Python in the hot
+path) built on deterministic md5-derived hashes so a DuckDB oracle can
+reproduce them bit-for-bit.
+
+Scale notes:
+  - exact_duplicates: one hash-shuffle on the digest (window over
+    digest groups); digest cardinality ~= corpus size, no skew.
+  - minhash/LSH: signatures are a projection (no shuffle); the LSH
+    band join shuffles on (band, band_hash) whose cardinality is
+    ~n_docs*bands with near-uniform md5 distribution — the classic
+    shuffle-friendly near-dup join (candidates only, then exact
+    verification on the tiny candidate set).
+  - simhash: one explode + two hash aggs; hamming pairing is banded
+    (4-bit key chunks) to avoid the quadratic cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokens_sql_col
+
+MINHASH_PERMS = 16
+LSH_BANDS = 8  # rows per band = MINHASH_PERMS / LSH_BANDS = 2
+SIMHASH_BITS = 16
+
+
+def _hex_int(col):
+    """First 8 md5 hex chars as a non-negative BIGINT (engine-portable:
+    DuckDB ('0x'||substr(md5(x),1,8))::BIGINT gives identical values)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """-> (doc_id, digest, keeper_id, group_size); keeper = min doc_id.
+
+    Exact-hash dedup: every row maps to its group representative.
+    """
+    w = Window.partitionBy("digest")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("digest"))
+        .withColumn("keeper_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count("*").over(w).cast("long"))
+    )
+
+
+def shingles_col(text_col: str = "text", n: int = 3):
+    """Word n-gram shingles (distinct), from the reference tokenizer."""
+    toks = tokens_sql_col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    perms: int = MINHASH_PERMS, n: int = 3,
+) -> DataFrame:
+    """-> (doc_id, perm, minhash) — one salted-md5 min per permutation.
+
+    min(md5(salt || shingle)) is a valid minhash: each salt induces an
+    independent pseudo-random permutation of the shingle universe.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    per_perm = [
+        F.struct(
+            F.lit(p).alias("perm"),
+            F.array_min(
+                F.transform(
+                    F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{p}:"), s))
+                )
+            ).alias("minhash"),
+        )
+        for p in range(perms)
+    ]
+    return sh.select(
+        "doc_id", F.explode(F.array(*per_perm)).alias("s")
+    ).select("doc_id", F.col("s.perm").alias("perm"), F.col("s.minhash").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    perms: int = MINHASH_PERMS, bands: int = LSH_BANDS, n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """LSH near-dup pairs -> (a, b, jaccard), a < b, verified exactly.
+
+    band_hash = md5 of the band's signature rows; docs sharing any band
+    bucket become candidates; candidates are verified with the exact
+    shingle Jaccard (array_intersect on the distinct shingle sets).
+    """
+    rows_per_band = perms // bands
+    sigs = minhash_signatures(docs, text_col, id_col, perms, n)
+    banded = sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+    band_hash = banded.groupBy("doc_id", "band").agg(
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("bh")
+    )
+    cand = (
+        band_hash.alias("x")
+        .join(band_hash.alias("y"), ["band", "bh"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("shingles")
+    )
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sa")), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sb")), "b")
+        .withColumn("n_inter", F.size(F.array_intersect("sa", "sb")).cast("double"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.size("sa") + F.size("sb") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", "jaccard")
+    )
+    return verified
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """-> (doc_id, simhash) — tf-weighted sign-sum fingerprint.
+
+    Token hash h = md5-derived int; bit b of the fingerprint is 1 iff
+    Σ_tokens (2*((h>>b)&1) - 1) > 0 (token multiplicity weighs in).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_sql_col(text_col)).alias("tok")
+    ).withColumn("h", _hex_int(F.col("tok")))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    per_bit = (
+        toks.select("doc_id", "h", bit)
+        .withColumn("sign", F.expr("(shiftright(h, bit) & 1) * 2 - 1"))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("sign").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0)),
+        )
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum("bitval").cast("long").alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS, max_hamming: int = 2,
+) -> DataFrame:
+    """-> (a, b, hamming) pairs with hamming(simhash) <= max_hamming.
+
+    Banded to stay sub-quadratic: the fingerprint splits into 4-bit
+    chunks; by pigeonhole, any pair within max_hamming <= 2 of a 16-bit
+    key shares at least one intact chunk, so candidates join on
+    (chunk_idx, chunk_value) and are then verified exactly.
+    """
+    s = simhash(docs, text_col, id_col, bits)
+    n_chunks = bits // 4
+    chunk = F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("ci")
+    chunks = s.select("doc_id", "simhash", chunk).withColumn(
+        "cv", F.expr("shiftright(simhash, ci * 4) & 15")
+    )
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["ci", "cv"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3, threshold: float = 0.3, id_limit: int | None = 100,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard -> (a, b, jaccard >= threshold).
+
+    The quadratic baseline (for validation and small candidate sets);
+    id_limit bounds the self-join in tests. The scalable variant is
+    minhash_lsh_pairs.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    if id_limit is not None:
+        sh = sh.filter(F.col("doc_id") < id_limit)
+    a = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("n_inter", F.size(F.array_intersect("sa", "sb")).cast("double"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.size("sa") + F.size("sb") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95, id_limit: int | None = None
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs -> (a, b, cosine >= threshold).
+
+    Brute-force pairing (validation baseline); the bucketed scale path
+    is similarity.ann_lsh_bucketed.
+    """
+    # double-precision arithmetic on both engines (the DuckDB oracle
+    # casts to DOUBLE[] too) — float32 accumulation order would differ
+    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    if id_limit is not None:
+        e = e.filter(F.col("vec_id") < id_limit)
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(dot / (norm(F.col("ea")) * norm(F.col("eb"))), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
