@@ -136,7 +136,7 @@ def test_index_tables_consistent(spark, index_dir, oracle):
     assert got == dict(oracle.index)
     # doc_stats == oracle doc_lengths; dl == sum(tf)
     ds = {r["doc_id"]: r["dl"] for r in
-          spark.read.parquet(os.path.join(index_dir, "doc_stats")).collect()}
+          spark.read.parquet(os.path.join(index_dir, "docs_meta")).select("doc_id", "dl").collect()}
     assert ds == oracle.doc_lengths
     from_postings = {
         r["doc_id"]: r["dl"]
@@ -151,7 +151,7 @@ def test_sha256_invariant_in_doc_map(spark, index_dir):
     want = {r["doc_id"]: r["h"] for r in
             src.select("doc_id", F.sha2("content", 256).alias("h")).collect()}
     got = {r["doc_id"]: r["content_sha256"] for r in
-           spark.read.parquet(os.path.join(index_dir, "doc_map")).collect()}
+           spark.read.parquet(os.path.join(index_dir, "docs_meta")).collect()}
     assert got == want
 
 
@@ -214,7 +214,7 @@ def test_resume_produces_identical_index(spark, tmp_path):
     # resumes over the FULL source and must only build shards 2-3
     build_index(spark, src, resumed_dir, block_size=16, num_shards=4)
 
-    for sub in ["blocks", "doc_stats"]:
+    for sub in ["blocks", "docs_meta"]:
         a = spark.read.parquet(os.path.join(clean_dir, sub))
         b = spark.read.parquet(os.path.join(resumed_dir, sub))
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, sub

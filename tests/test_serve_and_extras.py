@@ -1,0 +1,100 @@
+"""Serving wrapper (reference app.py analog), snippets, subset extract,
+and grouped-vs-mapInPandas block-builder equivalence."""
+
+import json
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_search_engine_spark.operators.blocks import (
+    build_block_index,
+    build_block_index_grouped,
+)
+from web_search_engine_spark.operators.postings import (
+    assign_doc_ids,
+    build_postings,
+    with_tokens,
+)
+from web_search_engine_spark.plans.build_index import build_index
+from web_search_engine_spark.plans.search import extract_subset, make_snippet
+from web_search_engine_spark.plans.serve import make_server, serve_forever_in_thread
+from web_search_engine_spark.sources.corpus import corpus_df
+
+
+def test_grouped_block_builder_identical(spark):
+    src = assign_doc_ids(corpus_df(spark, n_docs=200, seed=42), ["repo", "path"])
+    postings = build_postings(with_tokens(src, "content")).cache()
+    for shard_size in (None, 60):
+        a = build_block_index(postings, 16, "varbyte", shard_size)
+        b = build_block_index_grouped(postings, 16, "varbyte", shard_size)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, shard_size
+
+
+def test_snippet_window():
+    text = "aaa " * 50 + "manhattan project was here" + " bbb" * 50
+    s = make_snippet(text, "manhattan project", width=60)
+    assert "manhattan" in s and "project" in s
+    assert len(s) <= 60
+    # no terms present -> prefix fallback
+    assert make_snippet("hello world", "zzz") == "hello world"
+
+
+def test_extract_subset(spark, tmp_path):
+    src = corpus_df(spark, n_docs=100, seed=42)
+    out = str(tmp_path / "subset")
+    extract_subset(src, out, 25)
+    assert spark.read.parquet(out).count() == 25
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    src = corpus_df(spark, n_docs=200, seed=42)
+    build_index(spark, src, d, block_size=16, num_shards=2)
+    docs = assign_doc_ids(src, ["repo", "path"])
+    texts = {r["doc_id"]: r["content"] for r in docs.select("doc_id", "content").collect()}
+    server = make_server(d, doc_texts=texts)
+    serve_forever_in_thread(server)
+    host, port = server.server_address
+    yield f"http://{host}:{port}"
+    server.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/search",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_search_endpoint(served):
+    code, body = _post(served, {"query": "manhattan project", "mode": "OR", "topk": 5})
+    assert code == 200
+    assert body["mode"] == "OR"
+    assert 1 <= len(body["results"]) <= 5
+    top = body["results"][0]
+    assert top["rank"] == 1 and top["score"] > 0
+    assert "manhattan" in top.get("snippet", "").lower() or "project" in top.get("snippet", "").lower()
+
+
+def test_search_endpoint_and_matches_or_scores(served):
+    _, o = _post(served, {"query": "manhattan project", "mode": "OR", "topk": 10})
+    _, a = _post(served, {"query": "manhattan project", "mode": "AND", "topk": 10})
+    or_scores = {r["doc_id"]: r["score"] for r in o["results"]}
+    for r in a["results"]:
+        if r["doc_id"] in or_scores:  # AND docs score identically in OR
+            assert abs(r["score"] - or_scores[r["doc_id"]]) < 1e-9
+
+
+def test_search_endpoint_errors(served):
+    code, body = _post(served, {"query": "x", "mode": "NEITHER"})
+    assert code == 400 and "mode" in body["error"]
+    code, _ = _post(served, {"query": ""})
+    assert code == 200

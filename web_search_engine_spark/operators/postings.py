@@ -109,8 +109,11 @@ def salted_term_counts(postings: DataFrame, n_salts: int = 16) -> DataFrame:
     return phase1.groupBy("term").agg(F.sum("partial_df").cast("long").alias("df"))
 
 
-def assign_doc_ids(df: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Dense, deterministic doc_id = rank of the natural key.
+def assign_doc_ids_counted(
+    df: DataFrame, key_cols: list[str]
+) -> tuple[DataFrame, int]:
+    """Dense, deterministic doc_id = rank of the natural key; also
+    returns the total row count (free — the offset pass counts anyway).
 
     The reference assigns docids as sequential line numbers
     (HW2/engine/build_runs_mp.py:83-91); the engine's analog is a dense
@@ -143,4 +146,9 @@ def assign_doc_ids(df: DataFrame, key_cols: list[str]) -> DataFrame:
         .withColumn("doc_id", (F.col("_offset") + F.col("_rn") - 1).cast("long"))
         .drop("_pid", "_rn", "_offset")
     )
-    return out
+    return out, acc
+
+
+def assign_doc_ids(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """See assign_doc_ids_counted — this variant drops the count."""
+    return assign_doc_ids_counted(df, key_cols)[0]

@@ -3,16 +3,24 @@
 Replaces the reference's three CLI stages (build_runs_mp -> parallel_merge
 -> merger, SURVEY.md §3.1) with one declarative pipeline:
 
-  read source -> sha256 + tokenize (pandas_udf) -> explode ->
-  groupBy(term, doc_id).count() -> repartitionByRange(shard, term) +
-  sortWithinPartitions + mapInPandas block build -> parquet tables
+  read source -> assign dense docids -> sha256 + tokenize (pandas_udf,
+  ONE pass, persisted) -> docs_meta table (doc stats + lineage + sha) ->
+  explode -> groupBy(term, doc_id).count() -> repartitionByRange(shard,
+  term) + sortWithinPartitions + mapInPandas block build -> parquet
+
+Pass discipline (this is what scales): the source is read once, tokens
+are computed once and persisted (MEMORY_AND_DISK — the tokenize pass is
+the heaviest stage and must never run twice), and every downstream
+table derives from that one lineage. Driver-side jobs are kept to a
+minimum — each extra action costs seconds of fixed scheduling latency
+regardless of cluster size.
 
 Resumability (north rule): the SHARD (a doc_id range) is the checkpoint
 unit. Every attempt writes only the shards missing from manifest/, using
 dynamic partition overwrite (partial output from a killed attempt is
-replaced wholesale, completed shards are never touched or re-tokenized).
+replaced wholesale; completed shards are never touched or re-tokenized).
 A shard's manifest row is appended only after its data is fully written,
-with lineage (row counts, source fingerprint) + build metrics.
+with lineage (row counts, build seconds) + codec config.
 """
 
 from __future__ import annotations
@@ -25,7 +33,11 @@ from pyspark.sql import functions as F
 
 from ..config import BLOCK_SIZE, CODEC_VARBYTE
 from ..operators.blocks import build_block_index, lexicon_from_blocks
-from ..operators.postings import assign_doc_ids, build_postings, doc_stats, with_tokens
+from ..operators.postings import (
+    assign_doc_ids_counted,
+    build_postings,
+    with_tokens,
+)
 from ..sources.catalog import IndexCatalog, write_stats
 
 
@@ -54,9 +66,8 @@ def build_index(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # Deterministic docids: dense rank over the natural key — identical
-    # across resume attempts (SURVEY.md §1.3).
-    docs = assign_doc_ids(source, list(key_cols))
-    n_docs = docs.count()
+    # across resume attempts (SURVEY.md §1.3). The count is a byproduct.
+    docs, n_docs = assign_doc_ids_counted(source, list(key_cols))
     shard_size = max(1, -(-n_docs // num_shards))  # ceil
     docs = docs.withColumn(
         "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
@@ -68,28 +79,30 @@ def build_index(
 
     if pending:
         work = docs.filter(F.col("shard").isin(pending))
+        # NOTE deliberately NOT persisted: tokenization is a cheap, fully
+        # parallel map, but its output (array<string> per doc) cached as
+        # JVM objects is several GB per million docs — the resulting GC/
+        # eviction pressure was measured to cost more than tokenizing
+        # twice. The SOURCE ROWS stay cached (assign_doc_ids persists its
+        # range-partitioned input), so each pass re-reads cached rows.
         toks = with_tokens(work, text_col, method=tokenizer)
 
-        # doc-level tables first (cheap projections off the tokenize pass)
-        stats_df = toks.select(
-            "shard", "doc_id", F.size("tokens").cast("long").alias("dl")
-        )
-        stats_df.write.mode("overwrite").partitionBy("shard").parquet(
-            os.path.join(index_dir, "doc_stats")
-        )
-        doc_map = toks.select(
-            "shard", "doc_id", *key_cols,
-            *(["commit"] if "commit" in source.columns else []),
-            *(["lang"] if "lang" in source.columns else []),
+        # one combined doc-level table: stats + lineage + sha invariant
+        meta_cols = [c for c in ("commit", "lang") if c in source.columns]
+        docs_meta = toks.select(
+            "shard", "doc_id", *key_cols, *meta_cols,
+            F.size("tokens").cast("long").alias("dl"),
             F.sha2(F.col(text_col), 256).alias("content_sha256"),
         )
-        doc_map.write.mode("overwrite").partitionBy("shard").parquet(
-            os.path.join(index_dir, "doc_map")
-        )
+        # repartition by shard before the partitioned write: without it
+        # every task writes a file into every shard directory
+        # (tasks x shards small files; measured 14x slower at 32 cores)
+        docs_meta.repartition("shard").write.mode("overwrite").partitionBy(
+            "shard"
+        ).parquet(os.path.join(index_dir, "docs_meta"))
 
-        # postings -> blocks (the shuffle IS the merge); shard is
-        # derived from doc_id inside build_block_index with the same
-        # shard_size, so no join back to docs is needed.
+        # postings -> blocks (the shuffle IS the merge); shard derives
+        # from doc_id inside build_block_index with the same shard_size.
         blocks = build_block_index(
             build_postings(toks),
             block_size=block_size,
@@ -109,7 +122,7 @@ def build_index(
             F.count("*").cast("long").alias("n_blocks"),
         )
         shard_docs = (
-            spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+            spark.read.parquet(os.path.join(index_dir, "docs_meta"))
             .filter(F.col("shard").isin(pending))
             .groupBy("shard")
             .agg(F.count("*").cast("long").alias("n_docs"))
@@ -124,13 +137,13 @@ def build_index(
         )
         manifest.write.mode("append").parquet(os.path.join(index_dir, "manifest"))
 
-    # global derived tables (cheap, rebuilt from blocks each time)
+    # global derived tables (cheap, rebuilt from written tables)
     all_blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
     lexicon_from_blocks(all_blocks).write.mode("overwrite").parquet(
         os.path.join(index_dir, "lexicon")
     )
-    ds = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
-    row = ds.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    meta = spark.read.parquet(os.path.join(index_dir, "docs_meta"))
+    row = meta.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     write_stats(
         index_dir,
         {

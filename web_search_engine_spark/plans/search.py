@@ -54,7 +54,7 @@ class SearchEngine:
             zip(lex.column("term").to_pylist(), lex.column("df").to_pylist())
         )
         ds = pads.dataset(
-            os.path.join(index_dir, "doc_stats"), partitioning="hive"
+            os.path.join(index_dir, "docs_meta"), partitioning="hive"
         ).to_table(columns=["doc_id", "dl"])
         doc_ids = np.asarray(ds.column("doc_id"))
         dls = np.asarray(ds.column("dl"), dtype=np.float64)
@@ -98,6 +98,42 @@ class SearchEngine:
             block_rows, self._df, self.codec, self.dl, self.n_docs, self.avgdl,
             query, mode=mode, topk=topk, k1=k1, b=b, use_wand=use_wand,
         )
+
+
+def make_snippet(text: str, query: str, width: int = 160) -> str:
+    """Best-window snippet around query terms (reference app.py:118-155
+    defines the same feature; optional — not part of rank-identity).
+
+    Slides a character window over the document and keeps the one
+    covering the most DISTINCT query terms (earliest window wins ties).
+    """
+    terms = {t for t in tokenize_query(query)}
+    if not text or not terms:
+        return text[:width]
+    low = text.lower()
+    hits = []
+    for t in terms:
+        start = 0
+        while True:
+            i = low.find(t, start)
+            if i < 0:
+                break
+            hits.append((i, t))
+            start = i + 1
+    if not hits:
+        return text[:width]
+    hits.sort()
+    best_start, best_cover = 0, 0
+    for i, (pos, _t) in enumerate(hits):
+        cover = {t for p, t in hits[i:] if p < pos + width}
+        if len(cover) > best_cover:
+            best_cover, best_start = len(cover), max(0, pos - 20)
+    return text[best_start : best_start + width]
+
+
+def extract_subset(docs: DataFrame, out_path: str, limit: int) -> None:
+    """First-N-docs corpus sampler (reference extract_subset.py:15-32)."""
+    docs.limit(limit).write.mode("overwrite").parquet(out_path)
 
 
 def batch_score(

@@ -11,9 +11,10 @@ schema. Layout under <index_dir>/:
                offsets + block directory binary search
                (HW2/engine/listio.py:176-196).
   lexicon/     (term, df, nblocks, max_tf)
-  doc_stats/   (doc_id, dl)
-  doc_map/     (doc_id, repo, path, commit, lang, content_sha256) —
-               per-row invariant vs the source table (input_hint).
+  docs_meta/   (shard, doc_id, repo, path, commit, lang, dl,
+               content_sha256) — doc stats + lineage + the per-row
+               sha256 invariant vs the source table (input_hint), in
+               ONE table (column pruning makes the dl-only read free).
   stats.json   {n_docs, avgdl, codec, block_size, shard_size}
   manifest/    (shard, n_docs, n_postings, n_blocks, finished_ts) —
                one row per COMPLETED shard; the resume checkpoint.
@@ -66,11 +67,11 @@ class IndexCatalog:
     def lexicon(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_dir, "lexicon"))
 
-    def doc_stats(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "doc_stats"))
+    def docs_meta(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "docs_meta"))
 
-    def doc_map(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "doc_map"))
+    def doc_stats(self) -> DataFrame:
+        return self.docs_meta().select("doc_id", "dl")
 
     def manifest(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_dir, "manifest"))

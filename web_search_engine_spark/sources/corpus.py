@@ -69,6 +69,42 @@ def generate_corpus_pdf(n_docs: int = 400, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
 
 
+def generate_corpus_pdf_fast(n_docs: int, seed: int = 42) -> pd.DataFrame:
+    """Vectorized (numpy) variant for LARGE corpora (benchmarks).
+
+    Deterministic for a given (n_docs, seed) but a DIFFERENT corpus than
+    generate_corpus_pdf — correctness tests keep the scalar generator,
+    benchmarks use this one (millions of docs in seconds).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vocab = np.array(VOCAB)
+    probs = np.array(WEIGHTS) / sum(WEIGHTS)
+    words_per_doc = rng.integers(20, 90, size=n_docs)
+    total_words = int(words_per_doc.sum())
+    flat = rng.choice(len(vocab), size=total_words, p=probs)
+    # per-doc joins via offsets over one big python-free word array
+    joined = vocab[flat]
+    offsets = np.concatenate(([0], np.cumsum(words_per_doc)))
+    contents = np.empty(n_docs, dtype=object)
+    big = "\n".join(
+        " ".join(joined[offsets[i] : offsets[i + 1]]) for i in range(n_docs)
+    ).split("\n")
+    for i in range(n_docs):
+        contents[i] = big[i]
+    idx = np.arange(n_docs)
+    return pd.DataFrame(
+        {
+            "repo": [f"org{i % 7}/project-{i % 13}" for i in idx],
+            "path": [f"src/module_{i:07d}.py" for i in idx],
+            "commit": [f"{i:040x}" for i in idx],
+            "lang": [LANGS[i % len(LANGS)] for i in idx],
+            "content": contents,
+        }
+    )
+
+
 def corpus_df(spark, n_docs: int = 400, seed: int = 42):
     """Spark DataFrame of the synthetic corpus (5-column input_hint shape)."""
     pdf = generate_corpus_pdf(n_docs, seed)
