@@ -1,0 +1,83 @@
+"""Hot-term skew handling (SURVEY.md §7 milestone 3) and physical-plan
+assertions (filter pushdown into the block-table scan)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from web_search_engine_spark.operators.blocks import (
+    blocks_to_postings,
+    build_block_index,
+)
+from web_search_engine_spark.operators.postings import (
+    build_postings,
+    salted_term_counts,
+    lexicon_df,
+    with_tokens,
+)
+
+
+@pytest.fixture(scope="module")
+def zipf_docs(spark):
+    """Extreme skew: token 'the' appears in EVERY doc many times; a long
+    tail of unique tokens appears once each."""
+    rows = [
+        (i, "the " * 40 + f"uniq{i} tail{i % 7}")
+        for i in range(3000)
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "content"])
+    )
+
+
+def test_hot_term_bounded_by_doc_sharding(spark, zipf_docs):
+    postings = build_postings(with_tokens(zipf_docs, "content", "sql")).cache()
+    blocks = build_block_index(
+        postings, block_size=64, codec="varbyte", shard_size=500
+    ).cache()
+    hot = blocks.filter(F.col("term") == "the").collect()
+    # 3000 docs / 500-doc shards -> 6 bounded groups for the hot term
+    shards = sorted({r["shard"] for r in hot})
+    assert shards == [0, 1, 2, 3, 4, 5]
+    per_shard_postings = {}
+    for r in hot:
+        per_shard_postings[r["shard"]] = per_shard_postings.get(r["shard"], 0) + r["n"]
+    # every (term, shard) group is capped at the shard size
+    assert all(n <= 500 for n in per_shard_postings.values())
+    assert sum(per_shard_postings.values()) == 3000
+    # tf survived: every posting of 'the' has tf=40
+    decoded = blocks_to_postings(blocks.filter(F.col("term") == "the"), "varbyte")
+    tfs = {r["tf"] for r in decoded.collect()}
+    assert tfs == {40}
+
+
+def test_salted_counts_match_plain_on_skewed_data(spark, zipf_docs):
+    postings = build_postings(with_tokens(zipf_docs, "content", "sql")).cache()
+    plain = {r["term"]: r["df"] for r in lexicon_df(postings).collect()}
+    salted = {r["term"]: r["df"] for r in salted_term_counts(postings, n_salts=8).collect()}
+    assert salted == plain
+    assert plain["the"] == 3000
+
+
+def test_term_filter_pushes_into_block_scan(spark, tmp_path):
+    """The `term IN (...)` prune must reach the parquet scan
+    (PushedFilters), the table-format analog of the reference's lexicon
+    offset seek."""
+    from web_search_engine_spark.plans.build_index import build_index
+    from web_search_engine_spark.sources.corpus import corpus_df
+
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus_df(spark, 150, 42), d, num_shards=2)
+    blocks = spark.read.parquet(f"{d}/blocks")
+    pruned = blocks.filter(F.col("term").isin(["manhattan", "project"]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(term" in plan, plan[:2000]
+
+
+def test_postings_plan_has_partial_aggregation(spark, zipf_docs):
+    """Map-side combine must appear: two HashAggregates around the
+    exchange (partial_count then count)."""
+    postings = build_postings(with_tokens(zipf_docs, "content", "sql"))
+    plan = postings._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
