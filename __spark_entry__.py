@@ -21,6 +21,11 @@ from web_search_engine_spark.operators import dedup as _dedup
 from web_search_engine_spark.operators import multimodal as _mm
 from web_search_engine_spark.operators import similarity as _sim
 from web_search_engine_spark.operators import textstats as _ts
+from web_search_engine_spark.operators.blocks import (
+    blocks_to_postings,
+    build_block_index,
+    lexicon_from_blocks,
+)
 from web_search_engine_spark.operators.postings import (
     build_postings,
     corpus_stats,
@@ -63,12 +68,62 @@ def _bm25_topk(spark: SparkSession, sf_dir: str, query: str, mode: str) -> DataF
     n, avgdl = corpus_stats(stats)
     per = score_per_doc(postings, stats, n, avgdl, [("q", query)], mode=mode)
     per = per.withColumn("score", F.round("score", 6))
+    # Global top-k = orderBy().limit(k) -> TakeOrderedAndProject (per-
+    # partition heaps + driver merge); the rank window runs over the 10
+    # survivors only — never a single-partition window over all docs.
+    top = per.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        per.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("rank", "doc_id", "score")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score"
     )
+
+
+def _block_index(spark: SparkSession, sf_dir: str):
+    # shard_size=100 -> multiple doc-range shards at sf0.01 (500 docs):
+    # exercises per-shard gap-chain restarts (base_docid) and the
+    # blocked chunking (block_size=128) under the hard gate.
+    return build_block_index(_postings(spark, sf_dir), shard_size=100)
+
+
+def _wand_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full physical path under the gate: build a blocked on-disk index
+    (resumable build plan), serve the OR query through SearchEngine's
+    block-max WAND kernel, return (rank, doc_id, score).
+
+    Mirrors the reference's merged-vs-direct differential
+    (HW2/engine/testrun.py:80-104): the oracle is the same relational
+    BM25 SQL the non-physical bm25_* rows use — so varbyte codec, block
+    directory seeks, and WAND pruning are all on the hash-compared path.
+    """
+    import shutil
+    import tempfile
+
+    from web_search_engine_spark.plans.build_index import build_index
+    from web_search_engine_spark.plans.search import SearchEngine
+
+    tmp = tempfile.mkdtemp(prefix="wand_gate_")
+    try:
+        # rank over the dense existing doc_id is the identity mapping
+        src = _docs(spark, sf_dir).select(F.col("doc_id").alias("orig_id"), "text")
+        build_index(
+            spark, src, tmp,
+            key_cols=("orig_id",), text_col="text",
+            tokenizer="sql", num_shards=4,
+        )
+        eng = SearchEngine(tmp)
+        # fetch extra, then re-rank on the ROUNDED score (tie doc_id asc)
+        # so the boundary policy matches the oracle exactly
+        hits = eng.search(Q_OR, mode="OR", topk=50, use_wand=True)
+        rows = sorted(((round(s, 6), d) for d, s in hits), key=lambda r: (-r[0], r[1]))
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            [(i + 1, d, s) for i, (s, d) in enumerate(rows[:10])],
+            columns=["rank", "doc_id", "score"],
+        )
+        return spark.createDataFrame(pdf, "rank int, doc_id long, score double")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -107,6 +162,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_or": lambda spark, sf: boolean_search(
             _postings(spark, sf), Q_BOOL_OR, "OR"
         ),
+        # S6/S7/P9/P10: physical block index — encode (varbyte + delta
+        # gaps, sharded) then decode must be the identity on postings
+        "block_roundtrip": lambda spark, sf: blocks_to_postings(
+            _block_index(spark, sf)
+        ),
+        # S8/O5: lexicon derived from block rows (df, chunk count, max_tf)
+        "block_meta": lambda spark, sf: lexicon_from_blocks(_block_index(spark, sf)),
+        # J3/J5/O6: on-disk index + block-max WAND serving path
+        "wand_top10": _wand_top10,
         # ---- training-data pipeline operators (beyond the reference) ----
         # dedup: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
         "exact_dups": lambda spark, sf: _dedup.exact_duplicates(_docs(spark, sf)),
@@ -114,8 +178,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": lambda spark, sf: _dedup.minhash_lsh_pairs(_docs(spark, sf)),
         "simhash": lambda spark, sf: _dedup.simhash(_docs(spark, sf)),
         "simhash_pairs": lambda spark, sf: _dedup.simhash_near_pairs(_docs(spark, sf)),
-        "ngram_pairs": lambda spark, sf: _dedup.ngram_jaccard_pairs(_docs(spark, sf)),
+        # id_limit=300 yields 7 matching pairs at sf0.01 — a non-vacuous
+        # check (id_limit=100 matched nothing: 0 rows == 0 rows)
+        "ngram_pairs": lambda spark, sf: _dedup.ngram_jaccard_pairs(
+            _docs(spark, sf), id_limit=300
+        ),
         "emb_near_dup": lambda spark, sf: _dedup.embedding_near_dup_pairs(
+            _emb(spark, sf), threshold=0.35
+        ),
+        # bucketed LSH near-dup pairs: the 100-TB-scale path (candidates
+        # form only inside shared hyperplane-sign buckets)
+        "emb_lsh_pairs": lambda spark, sf: _sim.ann_lsh_bucketed(
             _emb(spark, sf), threshold=0.35
         ),
         # similarity search: exact brute-force; LSH variant is rows-only
@@ -131,9 +204,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": lambda spark, sf: _ts.quality_score(_docs(spark, sf)),
         "token_counts": lambda spark, sf: _ts.token_counts(_docs(spark, sf)),
         "fingerprint": lambda spark, sf: _ts.doc_fingerprint(_docs(spark, sf)),
-        # multimodal plumbing (binary payloads; deterministic fake decode)
+        # multimodal plumbing (binary payloads; deterministic fake decode).
+        # feature array<float> -> canonical integer-csv key: feat[j] =
+        # (h[j]+h[j+8])/510 in float32, so round(x*510) recovers the
+        # exact byte sum (float32 rel error ~6e-8 << 0.5/510) — hashable
+        # for the driver's canonicalizer AND reproducible in DuckDB.
         "media_features": lambda spark, sf: _mm.extract_media_features(
             _mm.synthesize_media(spark, 200)
+        ).select(
+            "media_id", "kind", "width", "height", "n_frames",
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "feature",
+                    lambda x: F.round(x * 510).cast("int").cast("string"),
+                ),
+            ).alias("feature_key"),
+            "decoder",
         ),
         "media_frame_sample": lambda spark, sf: _mm.sample_frames(
             _mm.extract_media_features(_mm.synthesize_media(spark, 200))
@@ -266,6 +353,51 @@ sim AS (
   FROM per GROUP BY doc_id
 )
 """
+# Random-hyperplane LSH, re-derived in SQL: coef(t, p, d) and the
+# bucket arithmetic are the exact md5 formulas operators/similarity.py
+# uses (deterministic — no RNG state to share between engines).
+_LSH_CTES = """
+nd AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+planes AS (
+  SELECT t, p,
+         list_transform(range(0, (SELECT d FROM nd)), dd ->
+           ((('0x' || substr(md5(t::VARCHAR || ':' || p::VARCHAR || ':' || dd::VARCHAR), 1, 8))::BIGINT
+             % 2001 - 1000) / 1000.0)) AS coefs
+  FROM (SELECT unnest(range(0, 8)) AS t), (SELECT unnest(range(0, 4)) AS p)
+),
+signs AS (
+  SELECT e.vec_id, pl.t AS tbl,
+         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.coefs) > 0
+                  THEN (1 << pl.p) ELSE 0 END)::BIGINT AS bucket
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.t
+)
+"""
+
+# Deterministic fake media decode, re-derived in SQL: payload byte k of
+# the md5 body is hex pair k of md5('42:<media_id>'); feature_key[j] =
+# h[j] + h[j+8] (see multimodal._fake_decode and the media_features
+# canonical projection).
+_MEDIA_CTES = """
+m AS (SELECT unnest(range(0, 200)) AS media_id),
+hb AS (
+  SELECT media_id,
+         list_transform(range(0, 16),
+           k -> ('0x' || substr(md5('42:' || media_id::VARCHAR), (k*2 + 1)::INT, 2))::INT) AS h
+  FROM m
+),
+feats AS (
+  SELECT media_id,
+         ['image','audio','video'][(media_id % 3)::INT + 1] AS kind,
+         (64 + (h[1] % 64))::INT AS width,
+         (64 + (h[2] % 64))::INT AS height,
+         (CASE WHEN media_id % 3 = 0 THEN 1 ELSE ((64 + (h[1] % 64)) % 16) + 1 END)::INT AS n_frames,
+         array_to_string(list_transform(range(0, 8), j -> h[j+1] + h[j+9]), ',') AS feature_key,
+         'fake' AS decoder
+  FROM hb
+)
+"""
+
 _LANGSETS = {
     "en": "['the','a','of','and','to','in','is','it','that','for']",
     "de": "['der','die','das','und','ist','nicht','ein','mit','auf','zu']",
@@ -321,7 +453,7 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 2
 WITH {_SHINGLES}
 SELECT sa.doc_id AS a, sb.doc_id AS b, {_JACCARD} AS jaccard
 FROM sh sa, sh sb
-WHERE sa.doc_id < sb.doc_id AND sa.doc_id < 100 AND sb.doc_id < 100
+WHERE sa.doc_id < sb.doc_id AND sa.doc_id < 300 AND sb.doc_id < 300
   AND {_JACCARD} >= 0.3
 """,
         "emb_near_dup": """
@@ -396,6 +528,47 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_bpe_ish
 FROM documents
 """,
+        "emb_lsh_pairs": f"""
+WITH {_LSH_CTES},
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM signs x JOIN signs y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT a, b,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine
+FROM cand JOIN embeddings ea ON ea.vec_id = a JOIN embeddings eb ON eb.vec_id = b
+WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= 0.35
+""",
+        "ann_lsh_topk": f"""
+WITH {_LSH_CTES},
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+qsigns AS (SELECT s.tbl, s.bucket, q.query_id, q.qe FROM signs s JOIN q ON s.vec_id = q.query_id),
+cand AS (
+  SELECT DISTINCT qs.query_id, s.vec_id
+  FROM signs s JOIN qsigns qs ON s.tbl = qs.tbl AND s.bucket = qs.bucket
+  WHERE s.vec_id != qs.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS cosine
+  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+""",
+        "media_features": f"""
+WITH {_MEDIA_CTES}
+SELECT media_id, kind, width, height, n_frames, feature_key, decoder FROM feats
+""",
+        "media_frame_sample": f"""
+WITH {_MEDIA_CTES}
+SELECT media_id, unnest(range(0, n_frames, 4))::INT AS frame_idx
+FROM feats WHERE kind = 'video'
+""",
         "fingerprint": f"""
 WITH e AS (
   SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS i
@@ -411,14 +584,31 @@ FROM e GROUP BY doc_id
 
 
 def oracle_sql() -> dict[str, str]:
-    # NOTE: ann_lsh_topk, media_features, media_frame_sample carry no
-    # oracle (LSH bucketing / binary payloads are not SQL-expressible);
-    # the driver records rows-only checks and pytest asserts their
-    # semantics (ANN recall vs brute force; decode plumbing).
+    # Every queries() entry carries an oracle: the md5-derived LSH
+    # hyperplanes and the deterministic fake media decode are both
+    # SQL-expressible, so even the ANN and multimodal rows hash-compare.
     out = _pipeline_oracles()
     out.update({
         "tf_postings": f"WITH {_CTES} SELECT term, doc_id, tf FROM tf",
         "lexicon": f"WITH {_CTES} SELECT term, df FROM dft",
+        # encode -> decode identity: same oracle as tf_postings
+        "block_roundtrip": f"WITH {_CTES} SELECT term, doc_id, tf FROM tf",
+        # per-(term, doc-range-shard) chunking arithmetic (shard_size=100,
+        # block_size=128) + additive lexicon merge
+        "block_meta": f"""
+WITH {_CTES},
+pershard AS (
+  SELECT term, (doc_id // 100)::INT AS shard, count(*)::BIGINT AS df_s, max(tf)::BIGINT AS mtf
+  FROM tf GROUP BY 1, 2
+)
+SELECT term, sum(df_s)::BIGINT AS df,
+       sum((df_s + 127) // 128)::INT AS nblocks,
+       max(mtf)::BIGINT AS max_tf
+FROM pershard GROUP BY term
+""",
+        # WAND + varbyte + on-disk index must reproduce the relational
+        # BM25 ranking exactly (reference testrun.py:80-104 differential)
+        "wand_top10": _bm25_sql(Q_OR, "OR"),
         "doc_stats": f"WITH {_CTES} SELECT doc_id, dl FROM dl",
         "corpus_stats": f"WITH {_CTES} SELECT n_docs, round(avgdl, 6) AS avgdl FROM stats",
         "doc_len_from_postings": f"WITH {_CTES} SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id",

@@ -114,7 +114,7 @@ def test_sha256_invariant(spark, built):
     a = src.select("doc_id", F.sha2("content", 256).alias("h"))
     # round-trip through the tokenized projection and back (same rows)
     b = with_tokens(src, "content").select("doc_id", F.sha2("content", 256).alias("h"))
-    diff = a.join(b, "doc_id").filter(F.col("a.h") != F.col("b.h")) if False else (
+    diff = (
         a.alias("a").join(b.alias("b"), "doc_id").filter(F.col("a.h") != F.col("b.h"))
     )
     assert diff.count() == 0

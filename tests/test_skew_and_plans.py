@@ -81,3 +81,25 @@ def test_postings_plan_has_partial_aggregation(spark, zipf_docs):
     plan = postings._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2
     assert "partial_count" in plan
+
+
+def test_global_topk_is_take_ordered_not_global_window(spark):
+    """Global top-k sites must compile to TakeOrderedAndProject
+    (per-partition heaps + driver merge); the rank window may only run
+    AFTER the limit, over k rows. A row_number window with no
+    partitionBy over the full scored set would put ALL rows in one
+    partition — the canonical scale-killer (VERDICT r1 #3)."""
+    import __spark_entry__ as entry_mod
+    from web_search_engine_spark.operators.similarity import cosine_topk
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    for df in (
+        cosine_topk(emb, 0, 10),
+        entry_mod._bm25_topk(spark, sf, "hash join", "OR"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan[:3000]
+        # the window (rank attach) must sit ABOVE the TakeOrdered, i.e.
+        # consume its tiny output, not the full scored set
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan[:3000]

@@ -1,16 +1,36 @@
 """Similarity search over an embedding column (array<float>).
 
 Brute-force cosine top-k is the exact baseline; the LSH-bucketed
-variant is the scale path (candidates only meet inside hyperplane-sign
-buckets, turning the quadratic all-pairs into a bucketed self-join).
-All arithmetic is promoted to double so the DuckDB oracle matches
-bit-for-bit after round(6).
+variants are the scale path (candidates only meet inside hyperplane-
+sign buckets, turning the quadratic all-pairs into a bucketed
+self-join). All arithmetic is promoted to double so the DuckDB oracle
+matches bit-for-bit after round(6).
+
+Scale notes (100 TB / billions of vectors):
+  - Global top-k is TakeOrderedAndProject (per-partition heap + tiny
+    driver merge) — never a single-partition window sort.
+  - Hyperplane signatures are ONE Arrow-batched pandas_udf doing a
+    (batch x dims) @ (dims x planes) float64 matmul per hash table —
+    constant plan size in `dims` (a per-dimension column-expression
+    unroll would feed Catalyst dims*planes*tables expressions, which
+    blows up at real 768-4096-dim embeddings).
+  - Plane coefficients are deterministic md5-derived pseudo-randoms
+    (coef(t, p, d) = hexint(md5('t:p:d')) scaled to [-1, 1]) — buckets
+    reproduce across engines/runs with no RNG state, so a DuckDB oracle
+    can re-derive them exactly.
 """
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+DEFAULT_PLANES = 4
+DEFAULT_TABLES = 8
 
 
 def _dot(a, b):
@@ -27,12 +47,28 @@ def _dbl(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def _ranked_topk(scored: DataFrame, k: int, score_col: str = "cosine") -> DataFrame:
+    """Global top-k as TakeOrderedAndProject + rank over the k survivors.
+
+    orderBy().limit(k) compiles to per-partition bounded heaps merged on
+    the driver — the scale-safe shape. The row_number window that
+    assigns ranks runs AFTER the limit, over exactly k rows (a window
+    with no partitionBy over the full scored set would collapse
+    everything into one partition — the canonical scale-killer).
+    """
+    top = scored.orderBy(F.desc(score_col), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc(score_col), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "vec_id", score_col
+    )
+
+
 def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     """Exact top-k cosine neighbors of one stored vector.
 
     -> (rank, vec_id, cosine); the query vector itself is excluded.
     Plan: broadcast the 1-row query side into the scan; global top-k is
-    TakeOrderedAndProject (no full sort).
+    TakeOrderedAndProject (asserted in tests/test_skew_and_plans.py).
     """
     e = _dbl(embeddings)
     q = e.filter(F.col("vec_id") == query_vec_id).select(
@@ -46,12 +82,7 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Da
             F.round(_dot(F.col("embedding"), F.col("qe")) / (_norm(F.col("embedding")) * _norm(F.col("qe"))), 6),
         )
     )
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "vec_id", "cosine")
-    )
+    return _ranked_topk(scored, k)
 
 
 def cosine_topk_batch(
@@ -83,52 +114,77 @@ def cosine_topk_batch(
     )
 
 
+_COEF_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
+
+
+def _plane_coefs(tables: int, planes: int, dims: int) -> np.ndarray:
+    """(tables, dims, planes) float64 coefficient tensor, deterministic.
+
+    coef(t, p, d) = (hexint(md5('t:p:d')[:8]) % 2001 - 1000) / 1000 —
+    identical to the DuckDB oracle's ('0x'||substr(md5(...),1,8))::BIGINT
+    arithmetic. Cached per (tables, planes, dims) per process (executors
+    pay the md5 loop once, ~0.5 s even at 4096 dims x 16 planes x 8
+    tables).
+    """
+    key = (tables, planes, dims)
+    c = _COEF_CACHE.get(key)
+    if c is None:
+        c = np.empty((tables, dims, planes), dtype=np.float64)
+        for t in range(tables):
+            for p in range(planes):
+                for d in range(dims):
+                    v = int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:8], 16)
+                    c[t, d, p] = ((v % 2001) - 1000) / 1000.0
+        _COEF_CACHE[key] = c
+    return c
+
+
+def _bucket_udf(planes: int, tables: int):
+    """pandas_udf: array<double> embedding -> array<long> of `tables`
+    bucket ids. One float64 matmul per (Arrow batch, table) — the whole
+    signature computation is O(batch * dims * planes * tables) numpy
+    work with a plan that carries exactly ONE expression."""
+
+    @F.pandas_udf("array<long>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        vals = emb.to_numpy()
+        if len(vals) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vals])
+        coefs = _plane_coefs(tables, planes, x.shape[1])
+        pow2 = (1 << np.arange(planes)).astype(np.int64)
+        out = np.empty((x.shape[0], tables), dtype=np.int64)
+        for t in range(tables):
+            out[:, t] = ((x @ coefs[t]) > 0).astype(np.int64) @ pow2
+        return pd.Series(list(out))
+
+    return buckets
+
+
 def hyperplane_signs(
-    embeddings: DataFrame, planes: int = 4, tables: int = 8, dims: int | None = None
+    embeddings: DataFrame, planes: int = DEFAULT_PLANES, tables: int = DEFAULT_TABLES
 ) -> DataFrame:
     """-> (vec_id, embedding, table, bucket): multi-table random-
     hyperplane LSH. Each of ``tables`` hash tables signs the vector
     against ``planes`` hyperplanes -> a ``planes``-bit bucket id.
 
-    Plane coefficients are deterministic md5-derived pseudo-randoms
-    (coef(t, p, d) = hexint(md5('t:p:d')) scaled to [-1, 1]) — buckets
-    reproduce across engines and runs with no RNG state. Few planes per
-    table keeps per-table recall high; many tables drive the union miss
-    probability down ((1 - r^planes)^tables).
+    Few planes per table keeps per-table recall high; many tables drive
+    the union miss probability down ((1 - r^planes)^tables). Pure
+    projection — no shuffle, no driver action.
     """
     e = _dbl(embeddings)
-    if dims is None:
-        dims = len(e.select("embedding").first()["embedding"])
-
-    def coef(t: int, p: int, d: int):
-        return (
-            F.conv(F.substring(F.md5(F.lit(f"{t}:{p}:{d}")), 1, 8), 16, 10).cast("long")
-            % 2001 - 1000
-        ).cast("double") / 1000.0
-
-    per_table = []
-    for t in range(tables):
-        bucket = F.lit(0)
-        for p in range(planes):
-            dot_p = sum(
-                (F.element_at(F.col("embedding"), d + 1) * coef(t, p, d) for d in range(dims)),
-                F.lit(0.0),
-            )
-            bucket = bucket + F.when(dot_p > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        per_table.append(
-            F.struct(F.lit(t).alias("table"), bucket.cast("long").alias("bucket"))
-        )
-    return e.select(
-        "vec_id", "embedding", F.explode(F.array(*per_table)).alias("tb")
-    ).select("vec_id", "embedding", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    b = e.withColumn("buckets", _bucket_udf(planes, tables)(F.col("embedding")))
+    return b.select(
+        "vec_id", "embedding", F.posexplode("buckets").alias("table", "bucket")
+    )
 
 
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 10,
-    planes: int = 4,
-    tables: int = 8,
+    planes: int = DEFAULT_PLANES,
+    tables: int = DEFAULT_TABLES,
 ) -> DataFrame:
     """Approximate top-k: candidates meet inside any shared (table,
     bucket) cell -> union -> exact cosine re-rank.
@@ -160,4 +216,44 @@ def ann_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def ann_lsh_bucketed(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    planes: int = DEFAULT_PLANES,
+    tables: int = DEFAULT_TABLES,
+) -> DataFrame:
+    """Bucketed embedding near-dup pairs -> (a, b, cosine >= threshold).
+
+    The production-scale replacement for dedup.embedding_near_dup_pairs'
+    quadratic crossJoin: candidate pairs only form inside a shared
+    (table, bucket) LSH cell (shuffle keyed on (table, bucket)), then
+    the tiny candidate set is verified with the exact cosine. Output is
+    a SUBSET of the brute-force pairs (every emitted pair passed the
+    exact check); recall is tuned by (planes, tables) — fewer planes =
+    bigger buckets = higher recall, more planes bounds per-bucket
+    candidate blowup at larger corpora.
+    """
+    signed = hyperplane_signs(embeddings, planes, tables)
+    left = signed.select(
+        "table", "bucket", F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    right = signed.select(
+        "table", "bucket", F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    )
+    cand = (
+        left.join(right, ["table", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ea", "eb")
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cand.withColumn(
+            "cosine",
+            F.round(_dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
     )
