@@ -220,3 +220,31 @@ def test_resume_produces_identical_index(spark, tmp_path):
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, sub
     manifest = spark.read.parquet(os.path.join(resumed_dir, "manifest"))
     assert {r["shard"] for r in manifest.collect()} == {0, 1, 2, 3}
+
+
+def test_resume_config_mismatch_fails_fast(spark, tmp_path):
+    """Resuming with a different codec/block_size would silently mix
+    incompatible shards in one index — must raise instead."""
+    from web_search_engine_spark.plans.build_index import build_index
+
+    d = str(tmp_path / "idx")
+    src = corpus_df(spark, n_docs=60, seed=42)
+    build_index(spark, src, d, codec="varbyte", block_size=16, num_shards=2)
+    with pytest.raises(ValueError, match="resume config mismatch"):
+        build_index(spark, src, d, codec="raw", block_size=16, num_shards=2)
+    with pytest.raises(ValueError, match="resume config mismatch"):
+        build_index(spark, src, d, codec="varbyte", block_size=32, num_shards=2)
+
+
+def test_empty_source_builds_clean_empty_index(spark, tmp_path):
+    from web_search_engine_spark.plans.build_index import build_index
+    from web_search_engine_spark.plans.search import SearchEngine
+
+    d = str(tmp_path / "idx")
+    src = corpus_df(spark, n_docs=50, seed=42).filter("1 = 0")
+    cat = build_index(spark, src, d, num_shards=2)
+    assert cat.n_docs == 0
+    assert cat.blocks().count() == 0
+    assert cat.lexicon().count() == 0
+    eng = SearchEngine(d)
+    assert eng.search("anything at all") == []

@@ -98,3 +98,46 @@ def test_search_endpoint_errors(served):
     assert code == 400 and "mode" in body["error"]
     code, _ = _post(served, {"query": ""})
     assert code == 200
+
+
+def test_dl_store_dense_vs_sorted():
+    """Dense direct-index store for compact id spaces; binary-search
+    store for sparse/huge id spaces (8 bytes per SLOT vs 16 bytes per
+    DOC — a billion-doc dense array would be 8 GB of driver memory)."""
+    import numpy as np
+
+    from web_search_engine_spark.plans.search import (
+        _DenseDL,
+        _SortedDL,
+        _make_dl_store,
+    )
+
+    dense = _make_dl_store(np.array([0, 1, 2, 3]), np.array([5.0, 6.0, 7.0, 8.0]))
+    assert isinstance(dense, _DenseDL)
+    assert dense[2] == 7.0
+
+    sparse = _make_dl_store(
+        np.array([0, 5, 10**12]), np.array([3.0, 4.0, 5.0])
+    )
+    assert isinstance(sparse, _SortedDL)
+    assert sparse[10**12] == 5.0
+    assert sparse[5] == 4.0
+    assert sparse[7] == 0.0  # absent id scores as dl=0 (never ranked)
+    assert sparse[10**13] == 0.0  # beyond the last id
+
+
+def test_search_engine_sparse_dl_rank_identical(spark, tmp_path, monkeypatch):
+    """Force the sorted dl store on a real index: results must be
+    identical to the dense path."""
+    import web_search_engine_spark.plans.search as search_mod
+    from web_search_engine_spark.plans.search import SearchEngine, _SortedDL
+
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus_df(spark, n_docs=150, seed=42), d, num_shards=2)
+    dense_eng = SearchEngine(d)
+    want = dense_eng.search("manhattan project", "OR", 10)
+
+    monkeypatch.setattr(search_mod, "_DENSE_DL_MAX_OVERHEAD", 0)
+    sparse_eng = SearchEngine(d)
+    assert isinstance(sparse_eng.dl, _SortedDL)
+    assert sparse_eng.search("manhattan project", "OR", 10) == want

@@ -111,3 +111,90 @@ def test_cli_package(tmp_path):
     names = zipfile.ZipFile(out_zip).namelist()
     assert "web_search_engine_spark/__init__.py" in names
     assert any(n.endswith("operators/wand.py") for n in names)
+
+
+def _index_snapshot(index_dir):
+    eng = SearchEngine(index_dir)
+    return eng.n_docs, round(eng.avgdl, 9), tuple(sorted(eng._df.items()))
+
+
+def test_append_batch_replay_paths_converge(spark, tmp_path):
+    """foreachBatch can re-deliver a batch after a sink crash. Both
+    replay cases must converge: a committed replay is a no-op, and a
+    replay of an UNCOMMITTED batch (crashed between the lexicon swap
+    and the ledger commit — the df-double-count window) must rebuild to
+    exactly the single-append state."""
+    from web_search_engine_spark.streaming.incremental import (
+        _read_ledger,
+        _write_ledger,
+        append_batch,
+    )
+
+    full = corpus_df(spark, n_docs=200, seed=7).cache()
+    first = full.limit(100)
+    rest = full.subtract(first)
+    idx = str(tmp_path / "idx")
+    build_index(spark, first, idx, block_size=16, num_shards=2)
+
+    assert append_batch(spark, rest, idx, batch_id=0) == 100
+    ref = _index_snapshot(idx)
+
+    # committed replay: skipped outright, state untouched
+    assert append_batch(spark, rest, idx, batch_id=0) == 0
+    assert _index_snapshot(idx) == ref
+
+    # uncommitted replay: strip the commit flag (as if the attempt died
+    # right before the atomic ledger write) and re-deliver
+    led = _read_ledger(idx)
+    led["batches"]["0"] = {"base": led["batches"]["0"]["base"], "committed": False}
+    _write_ledger(idx, led)
+    assert append_batch(spark, rest, idx, batch_id=0) == 100
+    assert _index_snapshot(idx) == ref
+
+    # no duplicate documents landed anywhere
+    meta = spark.read.parquet(os.path.join(idx, "docs_meta"))
+    assert meta.count() == meta.select("doc_id").distinct().count() == 200
+
+
+def test_append_batch_lexicon_merge_is_o_delta(spark, tmp_path, monkeypatch):
+    """A fresh micro-batch must fold ONLY the new shards' block files
+    into the lexicon — never rescan the whole index per batch."""
+    import web_search_engine_spark.streaming.incremental as inc
+
+    full = corpus_df(spark, n_docs=200, seed=11).cache()
+    first = full.limit(100)
+    rest = full.subtract(first)
+    idx = str(tmp_path / "idx")
+    build_index(spark, first, idx, block_size=16, num_shards=2)
+
+    captured = {}
+    orig = inc.merge_lexicon
+
+    def spy(s, d, shards):
+        files = orig(s, d, shards)
+        captured["shards"], captured["files"] = shards, files
+        return files
+
+    monkeypatch.setattr(inc, "merge_lexicon", spy)
+    assert inc.append_batch(spark, rest, idx, batch_id=0) == 100
+
+    assert captured["shards"] is not None and len(captured["shards"]) >= 1
+    new_dirs = [f"/shard={s}/" for s in captured["shards"]]
+    assert captured["files"], "merge read no files"
+    for f in captured["files"]:
+        assert any(nd in f for nd in new_dirs), f
+
+    # and the incrementally-merged lexicon equals a full rebuild
+    from web_search_engine_spark.operators.blocks import lexicon_from_blocks
+
+    merged = {
+        r["term"]: (r["df"], r["nblocks"], r["max_tf"])
+        for r in spark.read.parquet(os.path.join(idx, "lexicon")).collect()
+    }
+    fresh = {
+        r["term"]: (r["df"], r["nblocks"], r["max_tf"])
+        for r in lexicon_from_blocks(
+            spark.read.parquet(os.path.join(idx, "blocks"))
+        ).collect()
+    }
+    assert merged == fresh

@@ -111,9 +111,13 @@ def salted_term_counts(postings: DataFrame, n_salts: int = 16) -> DataFrame:
 
 def assign_doc_ids_counted(
     df: DataFrame, key_cols: list[str]
-) -> tuple[DataFrame, int]:
-    """Dense, deterministic doc_id = rank of the natural key; also
-    returns the total row count (free — the offset pass counts anyway).
+) -> tuple[DataFrame, int, DataFrame]:
+    """Dense, deterministic doc_id = rank of the natural key. Returns
+    (result, total_row_count, cache_handle); the count is free (the
+    offset pass counts anyway) and the CALLER OWNS the cache — call
+    ``cache_handle.unpersist()`` once downstream work is materialized
+    (a long-running ingest that never unpersists leaks executor
+    memory/disk per batch).
 
     The reference assigns docids as sequential line numbers
     (HW2/engine/build_runs_mp.py:83-91); the engine's analog is a dense
@@ -122,7 +126,9 @@ def assign_doc_ids_counted(
 
     Scale-aware implementation: range-partition by key, count rows per
     partition (tiny driver-side cumsum), then a per-partition window —
-    parallel everywhere, never a single global sort partition.
+    parallel everywhere, never a single global sort partition. The
+    range-partitioned rows are persisted because separate actions
+    re-plan the DataFrame (the exchange would rerun per downstream job).
     """
     from pyspark.sql import Window
 
@@ -136,8 +142,17 @@ def assign_doc_ids_counted(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    import pandas as pd
+
+    # pandas -> Arrow LocalRelation: a list-backed createDataFrame plans
+    # as Scan ExistingRDD, which re-spawns Python workers on every reuse
+    # of this subtree (one per downstream job)
     off_df = df.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+        pd.DataFrame(
+            [(pid, off) for pid, off in offsets.items()],
+            columns=["_pid", "_offset"],
+        ),
+        "_pid int, _offset long",
     )
     w = Window.partitionBy("_pid").orderBy(*key_cols)
     out = (
@@ -146,9 +161,10 @@ def assign_doc_ids_counted(
         .withColumn("doc_id", (F.col("_offset") + F.col("_rn") - 1).cast("long"))
         .drop("_pid", "_rn", "_offset")
     )
-    return out, acc
+    return out, acc, ranged
 
 
 def assign_doc_ids(df: DataFrame, key_cols: list[str]) -> DataFrame:
-    """See assign_doc_ids_counted — this variant drops the count."""
+    """See assign_doc_ids_counted — this variant drops the count (and
+    leaves the cache to Spark's LRU; fine for one-shot sessions)."""
     return assign_doc_ids_counted(df, key_cols)[0]

@@ -3,32 +3,45 @@
 Replaces the reference's three CLI stages (build_runs_mp -> parallel_merge
 -> merger, SURVEY.md §3.1) with one declarative pipeline:
 
-  read source -> assign dense docids -> sha256 + tokenize (pandas_udf,
-  ONE pass, persisted) -> docs_meta table (doc stats + lineage + sha) ->
-  explode -> groupBy(term, doc_id).count() -> repartitionByRange(shard,
-  term) + sortWithinPartitions + mapInPandas block build -> parquet
+  read source -> assign dense docids -> sha256 + tokenize -> docs_meta
+  table (doc stats + lineage + sha) -> explode -> groupBy(term,
+  doc_id).count() -> repartitionByRange(shard, term) +
+  sortWithinPartitions + mapInPandas block build -> parquet
 
-Pass discipline (this is what scales): the source is read once, tokens
-are computed once and persisted (MEMORY_AND_DISK — the tokenize pass is
-the heaviest stage and must never run twice), and every downstream
-table derives from that one lineage. Driver-side jobs are kept to a
-minimum — each extra action costs seconds of fixed scheduling latency
-regardless of cluster size.
+Pass discipline (this is what scales): the SOURCE ROWS are read once and
+cached (assign_doc_ids_counted persists its range-partitioned input;
+unpersisted at the end of the build); tokenization is deliberately
+recomputed per pass — it is a cheap fully-parallel map, and caching its
+array<string> output as JVM objects costs more in GC/eviction than
+tokenizing twice (measured).
+
+Job discipline: every Spark action costs seconds of fixed scheduling
+latency regardless of cluster size, so the build runs exactly FOUR jobs
+regardless of index size: (1) doc-id offsets count, (2) docs_meta write,
+(3) blocks write, (4) incremental lexicon merge. Per-shard manifest
+metrics ride the write jobs as Observation metrics (no post-hoc re-read
+of just-written parquet), the manifest append and stats.json are
+driver-side metadata writes (exactly how Iceberg commits manifest
+files), and corpus stats aggregate over manifest rows, not over data.
 
 Resumability (north rule): the SHARD (a doc_id range) is the checkpoint
 unit. Every attempt writes only the shards missing from manifest/, using
 dynamic partition overwrite (partial output from a killed attempt is
 replaced wholesale; completed shards are never touched or re-tokenized).
 A shard's manifest row is appended only after its data is fully written,
-with lineage (row counts, build seconds) + codec config.
+with lineage (row counts, Σdl, build seconds) + codec config. Resume
+validates codec/block_size against the manifest and adopts the recorded
+shard_size (mixing incompatible shards fails fast instead of silently).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import time
+import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import BLOCK_SIZE, CODEC_VARBYTE
@@ -38,15 +51,160 @@ from ..operators.postings import (
     build_postings,
     with_tokens,
 )
-from ..sources.catalog import IndexCatalog, write_stats
+from ..sources.catalog import IndexCatalog, read_stats, write_stats
+
+# Above this many pending shards the per-shard conditional Observation
+# aggregates get wide; fall back to one tiny post-hoc aggregation job.
+OBSERVE_MAX_SHARDS = 64
+
+_MANIFEST_COLS = [
+    "shard", "n_docs", "sum_dl", "n_postings", "n_blocks",
+    "build_sec", "finished_unix", "codec", "block_size", "shard_size",
+]
 
 
-def _completed_shards(spark: SparkSession, index_dir: str) -> set[int]:
+def _read_manifest_rows(index_dir: str) -> list[dict]:
+    """Driver-side metadata read of manifest/ (tiny: one row per shard).
+
+    Uses pyarrow directly — the resume probe and corpus-stats rollup
+    must not cost a Spark job each. Falls back to empty on a fresh dir.
+    """
     path = os.path.join(index_dir, "manifest")
+    if not os.path.isdir(path):
+        return []
     try:
-        return {r["shard"] for r in spark.read.parquet(path).select("shard").collect()}
+        import pyarrow.dataset as pads
+
+        return pads.dataset(path, format="parquet").to_table().to_pylist()
     except Exception:
-        return set()
+        return []
+
+
+def _append_manifest_rows(index_dir: str, rows: list[dict]) -> None:
+    """Driver-side manifest commit (the Iceberg-manifest analog): one
+    small parquet file per completed attempt, appended after the shard
+    data is durable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(index_dir, "manifest")
+    os.makedirs(path, exist_ok=True)
+    schema = pa.schema(
+        [
+            ("shard", pa.int32()),
+            ("n_docs", pa.int64()),
+            ("sum_dl", pa.int64()),
+            ("n_postings", pa.int64()),
+            ("n_blocks", pa.int64()),
+            ("build_sec", pa.float64()),
+            ("finished_unix", pa.float64()),
+            ("codec", pa.string()),
+            ("block_size", pa.int32()),
+            ("shard_size", pa.int32()),
+        ]
+    )
+    tbl = pa.Table.from_pylist(rows, schema=schema)
+    pq.write_table(tbl, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"))
+
+
+def merge_lexicon(
+    spark: SparkSession, index_dir: str, new_shards: list[int] | None
+) -> list[str]:
+    """Rewrite lexicon/ = existing lexicon ⊕ lexicon of ``new_shards``.
+
+    The lexicon merge is ADDITIVE on (df, nblocks) and MAX on max_tf, so
+    an append only has to aggregate the NEW shards' blocks and fold them
+    into the existing table — O(delta), not O(index). ``new_shards=None``
+    forces a full rebuild from all blocks (also the fallback when no
+    lexicon exists yet, e.g. after a crash mid-swap: the lexicon is
+    derived state and always reconstructible).
+
+    Returns the list of block data files the merge read — tests assert
+    an append touched only the new shards' files.
+    """
+    blocks_dir = os.path.join(index_dir, "blocks")
+    lex_dir = os.path.join(index_dir, "lexicon")
+    have_old = os.path.isdir(lex_dir)
+
+    if new_shards is None or not have_old:
+        delta_blocks = spark.read.parquet(blocks_dir)
+        merged = lexicon_from_blocks(delta_blocks)
+    else:
+        if not new_shards:
+            return []  # nothing new, existing lexicon already correct
+        paths = [os.path.join(blocks_dir, f"shard={s}") for s in new_shards]
+        delta_blocks = spark.read.option("basePath", blocks_dir).parquet(*paths)
+        delta = lexicon_from_blocks(delta_blocks)
+        old = spark.read.parquet(lex_dir)
+        merged = (
+            old.unionByName(delta)
+            .groupBy("term")
+            .agg(
+                F.sum("df").cast("long").alias("df"),
+                F.sum("nblocks").cast("int").alias("nblocks"),
+                F.max("max_tf").cast("long").alias("max_tf"),
+            )
+        )
+
+    # write-new-then-swap: Spark cannot overwrite a path it is reading
+    tmp_dir = lex_dir + "_tmp"
+    merged.write.mode("overwrite").parquet(tmp_dir)
+    if have_old:
+        shutil.rmtree(lex_dir)
+    os.rename(tmp_dir, lex_dir)
+    return list(delta_blocks.inputFiles())
+
+
+def _per_shard_observe_exprs(pending: list[int], kind: str):
+    exprs = []
+    for s in pending:
+        is_s = F.col("shard") == s
+        if kind == "docs":
+            exprs.append(F.count(F.when(is_s, F.lit(1))).alias(f"n_{s}"))
+            exprs.append(
+                F.coalesce(F.sum(F.when(is_s, F.col("dl"))), F.lit(0)).alias(f"dl_{s}")
+            )
+        else:
+            exprs.append(
+                F.coalesce(F.sum(F.when(is_s, F.col("n"))), F.lit(0)).alias(f"p_{s}")
+            )
+            exprs.append(F.count(F.when(is_s, F.lit(1))).alias(f"b_{s}"))
+    return exprs
+
+
+def _write_empty_index(
+    spark: SparkSession,
+    index_dir: str,
+    docs_meta: DataFrame,
+    codec: str,
+    block_size: int,
+    shard_size: int,
+) -> IndexCatalog:
+    """n_docs == 0: commit a clean empty index (schema'd tables + stats)
+    instead of crashing on a missing blocks/ dir later."""
+    from ..operators.blocks import BLOCK_SCHEMA
+
+    # non-partitioned writes: a dynamic partitionBy of an empty frame
+    # writes no files and the tables would be unreadable
+    docs_meta.write.mode("overwrite").parquet(os.path.join(index_dir, "docs_meta"))
+    spark.createDataFrame([], BLOCK_SCHEMA).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "blocks")
+    )
+    spark.createDataFrame(
+        [], "term string, df long, nblocks int, max_tf long"
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "lexicon"))
+    write_stats(
+        index_dir,
+        {
+            "n_docs": 0,
+            "avgdl": 0.0,
+            "codec": codec,
+            "block_size": block_size,
+            "shard_size": shard_size,
+            "built_unix": time.time(),
+        },
+    )
+    return IndexCatalog(spark, index_dir)
 
 
 def build_index(
@@ -65,94 +223,173 @@ def build_index(
     t_start = time.time()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    prior = _read_manifest_rows(index_dir) if resume else []
+    if prior:
+        rec_codec = prior[0]["codec"]
+        rec_block = int(prior[0]["block_size"])
+        if rec_codec != codec or rec_block != block_size:
+            raise ValueError(
+                f"resume config mismatch: index at {index_dir} was built with "
+                f"codec={rec_codec!r} block_size={rec_block}, invoked with "
+                f"codec={codec!r} block_size={block_size}; pass resume=False "
+                f"to rebuild or match the recorded config"
+            )
+
     # Deterministic docids: dense rank over the natural key — identical
     # across resume attempts (SURVEY.md §1.3). The count is a byproduct.
-    docs, n_docs = assign_doc_ids_counted(source, list(key_cols))
-    shard_size = max(1, -(-n_docs // num_shards))  # ceil
-    docs = docs.withColumn(
-        "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
-    )
+    docs, n_docs, cached_src = assign_doc_ids_counted(source, list(key_cols))
+    try:
+        if prior:
+            # adopt the recorded shard geometry: doc_id->shard must not
+            # move for already-committed shards (manifest is the backup
+            # authority if the attempt died before stats.json landed)
+            try:
+                shard_size = int(read_stats(index_dir)["shard_size"])
+            except FileNotFoundError:
+                shard_size = int(prior[0]["shard_size"])
+        else:
+            shard_size = max(1, -(-n_docs // num_shards))  # ceil
 
-    all_shards = set(range(-(-n_docs // shard_size)))
-    done = _completed_shards(spark, index_dir) if resume else set()
-    pending = sorted(all_shards - done)
+        docs = docs.withColumn(
+            "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
+        )
 
-    if pending:
-        work = docs.filter(F.col("shard").isin(pending))
-        # NOTE deliberately NOT persisted: tokenization is a cheap, fully
-        # parallel map, but its output (array<string> per doc) cached as
-        # JVM objects is several GB per million docs — the resulting GC/
-        # eviction pressure was measured to cost more than tokenizing
-        # twice. The SOURCE ROWS stay cached (assign_doc_ids persists its
-        # range-partitioned input), so each pass re-reads cached rows.
-        toks = with_tokens(work, text_col, method=tokenizer)
-
-        # one combined doc-level table: stats + lineage + sha invariant
         meta_cols = [c for c in ("commit", "lang") if c in source.columns]
-        docs_meta = toks.select(
-            "shard", "doc_id", *key_cols, *meta_cols,
-            F.size("tokens").cast("long").alias("dl"),
-            F.sha2(F.col(text_col), 256).alias("content_sha256"),
-        )
-        # repartition by shard before the partitioned write: without it
-        # every task writes a file into every shard directory
-        # (tasks x shards small files; measured 14x slower at 32 cores)
-        docs_meta.repartition("shard").write.mode("overwrite").partitionBy(
-            "shard"
-        ).parquet(os.path.join(index_dir, "docs_meta"))
 
-        # postings -> blocks (the shuffle IS the merge); shard derives
-        # from doc_id inside build_block_index with the same shard_size.
-        blocks = build_block_index(
-            build_postings(toks),
-            block_size=block_size,
-            codec=codec,
-            shard_size=shard_size,
-        )
-        blocks.write.mode("overwrite").partitionBy("shard").parquet(
-            os.path.join(index_dir, "blocks")
-        )
+        if n_docs == 0:
+            empty_meta = with_tokens(docs, text_col, method=tokenizer).select(
+                "shard", "doc_id", *key_cols, *meta_cols,
+                F.size("tokens").cast("long").alias("dl"),
+                F.sha2(F.col(text_col), 256).alias("content_sha256"),
+            )
+            return _write_empty_index(
+                spark, index_dir, empty_meta, codec, block_size, shard_size
+            )
 
-        # manifest: lineage + metrics per completed shard, appended last
-        built = spark.read.parquet(os.path.join(index_dir, "blocks")).filter(
-            F.col("shard").isin(pending)
-        )
-        per_shard = built.groupBy("shard").agg(
-            F.sum("n").cast("long").alias("n_postings"),
-            F.count("*").cast("long").alias("n_blocks"),
-        )
-        shard_docs = (
-            spark.read.parquet(os.path.join(index_dir, "docs_meta"))
-            .filter(F.col("shard").isin(pending))
-            .groupBy("shard")
-            .agg(F.count("*").cast("long").alias("n_docs"))
-        )
-        manifest = (
-            per_shard.join(shard_docs, "shard", "full")
-            .na.fill(0)
-            .withColumn("build_sec", F.lit(round(time.time() - t_start, 3)))
-            .withColumn("finished_ts", F.current_timestamp())
-            .withColumn("codec", F.lit(codec))
-            .withColumn("block_size", F.lit(block_size))
-        )
-        manifest.write.mode("append").parquet(os.path.join(index_dir, "manifest"))
+        all_shards = set(range(-(-n_docs // shard_size)))
+        done = {int(r["shard"]) for r in prior}
+        pending = sorted(all_shards - done)
 
-    # global derived tables (cheap, rebuilt from written tables)
-    all_blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
-    lexicon_from_blocks(all_blocks).write.mode("overwrite").parquet(
-        os.path.join(index_dir, "lexicon")
+        new_rows: list[dict] = []
+        if pending:
+            work = docs.filter(F.col("shard").isin(pending))
+            # NOTE tokenization deliberately NOT persisted: a cheap, fully
+            # parallel map whose array<string> output cached as JVM objects
+            # costs more in GC/eviction than recomputing (the cached SOURCE
+            # ROWS feed both passes).
+            toks = with_tokens(work, text_col, method=tokenizer)
+
+            # one combined doc-level table: stats + lineage + sha invariant
+            docs_meta = toks.select(
+                "shard", "doc_id", *key_cols, *meta_cols,
+                F.size("tokens").cast("long").alias("dl"),
+                F.sha2(F.col(text_col), 256).alias("content_sha256"),
+            )
+            use_observe = len(pending) <= OBSERVE_MAX_SHARDS
+            docs_obs = blocks_obs = None
+            if use_observe:
+                docs_obs = Observation("docs_meta_per_shard")
+                docs_meta = docs_meta.observe(
+                    docs_obs, *_per_shard_observe_exprs(pending, "docs")
+                )
+            # repartition by shard before the partitioned write: without it
+            # every task writes a file into every shard directory
+            # (tasks x shards small files; measured 14x slower at 32 cores)
+            docs_meta.repartition("shard").write.mode("overwrite").partitionBy(
+                "shard"
+            ).parquet(os.path.join(index_dir, "docs_meta"))
+
+            # postings -> blocks (the shuffle IS the merge); shard derives
+            # from doc_id inside build_block_index with the same shard_size.
+            blocks = build_block_index(
+                build_postings(toks),
+                block_size=block_size,
+                codec=codec,
+                shard_size=shard_size,
+            )
+            if use_observe:
+                blocks_obs = Observation("blocks_per_shard")
+                blocks = blocks.observe(
+                    blocks_obs, *_per_shard_observe_exprs(pending, "blocks")
+                )
+            blocks.write.mode("overwrite").partitionBy("shard").parquet(
+                os.path.join(index_dir, "blocks")
+            )
+
+            if use_observe:
+                dv, bv = docs_obs.get, blocks_obs.get
+                per_shard = {
+                    s: (
+                        int(dv[f"n_{s}"]), int(dv[f"dl_{s}"]),
+                        int(bv[f"p_{s}"]), int(bv[f"b_{s}"]),
+                    )
+                    for s in pending
+                }
+            else:
+                per_shard = _post_hoc_shard_stats(spark, index_dir, pending)
+
+            build_sec = round(time.time() - t_start, 3)
+            now = time.time()
+            for s in pending:
+                nd, sdl, np_, nb = per_shard[s]
+                new_rows.append(
+                    {
+                        "shard": s, "n_docs": nd, "sum_dl": sdl,
+                        "n_postings": np_, "n_blocks": nb,
+                        "build_sec": build_sec, "finished_unix": now,
+                        "codec": codec, "block_size": block_size,
+                        "shard_size": shard_size,
+                    }
+                )
+            # manifest row lands only after the shard data is durable
+            _append_manifest_rows(index_dir, new_rows)
+
+        # lexicon: fold ONLY the new shards into the existing table
+        merge_lexicon(spark, index_dir, pending if prior else None)
+
+        # corpus stats roll up from manifest rows — O(shards) driver work,
+        # never a rescan of docs_meta
+        all_rows = prior + new_rows
+        total_docs = sum(int(r["n_docs"]) for r in all_rows)
+        total_dl = sum(int(r["sum_dl"]) for r in all_rows)
+        write_stats(
+            index_dir,
+            {
+                "n_docs": total_docs,
+                "avgdl": (total_dl / total_docs) if total_docs else 0.0,
+                "codec": codec,
+                "block_size": block_size,
+                "shard_size": shard_size,
+                "built_unix": time.time(),
+            },
+        )
+        return IndexCatalog(spark, index_dir)
+    finally:
+        cached_src.unpersist()
+
+
+def _post_hoc_shard_stats(
+    spark: SparkSession, index_dir: str, pending: list[int]
+) -> dict[int, tuple[int, int, int, int]]:
+    """Fallback when pending exceeds OBSERVE_MAX_SHARDS: two small
+    aggregation jobs over the just-written (column-pruned) parquet."""
+    d = (
+        spark.read.parquet(os.path.join(index_dir, "docs_meta"))
+        .filter(F.col("shard").isin(pending))
+        .groupBy("shard")
+        .agg(F.count("*").alias("nd"), F.sum("dl").alias("sdl"))
+        .collect()
     )
-    meta = spark.read.parquet(os.path.join(index_dir, "docs_meta"))
-    row = meta.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    write_stats(
-        index_dir,
-        {
-            "n_docs": int(row["n"]),
-            "avgdl": float(row["avgdl"] or 0.0),
-            "codec": codec,
-            "block_size": block_size,
-            "shard_size": shard_size,
-            "built_unix": time.time(),
-        },
+    b = (
+        spark.read.parquet(os.path.join(index_dir, "blocks"))
+        .filter(F.col("shard").isin(pending))
+        .groupBy("shard")
+        .agg(F.sum("n").alias("np"), F.count("*").alias("nb"))
+        .collect()
     )
-    return IndexCatalog(spark, index_dir)
+    dm = {int(r["shard"]): (int(r["nd"]), int(r["sdl"] or 0)) for r in d}
+    bm = {int(r["shard"]): (int(r["np"] or 0), int(r["nb"])) for r in b}
+    return {
+        s: (*dm.get(s, (0, 0)), *bm.get(s, (0, 0)))
+        for s in pending
+    }

@@ -5,24 +5,42 @@ Two paths, one semantics (tested rank-identical):
   - SearchEngine: interactive single-query path. Mirrors the reference's
     serving shape (lexicon + doc_lengths resident in memory, postings
     read per query: HW2/engine/searcher.py:34-50) — the lexicon and doc
-    stats load once via Arrow, per-query block fetches go through
-    pyarrow dataset predicate pushdown (`term IN (...)` prunes parquet
-    row groups on min/max stats — the table-format analog of the
-    reference's lexicon offset + block directory seek). No Spark job in
-    the hot path; latency is milliseconds like the reference's.
+    stats load once via Arrow; per-query block fetches go through a
+    BLOCK DIRECTORY built from parquet footers at init (per-row-group
+    term min/max ranges, binary-searched per query term — the
+    table-format analog of the reference's lexicon byte offset + block
+    directory seek, HW2/engine/listio.py:176-196) and only the matching
+    row groups are read. A small LRU caches decoded term block-rows for
+    repeated terms. No Spark job in the hot path; latency is
+    milliseconds like the reference's.
 
   - batch_score(): distributed scoring of a query SET over the block
     table: prune scan on term -> decode blocks (mapInPandas) -> the same
     relational BM25 plan as plans/query.py. Use this at cluster scale or
     for thousands of queries at once.
+
+Driver-memory scale notes:
+  - doc lengths: the dense path keeps one float64 per doc_id slot
+    (8 bytes/doc -> 8 GB per billion docs). When the id space is sparse
+    (streaming appends leave shard-boundary gaps) or simply too large,
+    `_SortedDL` stores (sorted doc_ids, dl) pairs and answers lookups
+    by binary search — 16 bytes per EXISTING doc, independent of
+    max_doc_id. Chosen automatically; beyond single-node RAM the
+    serving tier shards by doc_id range (each server loads only its
+    shards' docs_meta + blocks), which this layout already supports
+    since both tables are hive-partitioned by shard.
+  - block directory: one (term_min, term_max, path, row_group) entry
+    per row group — footer metadata only, no payload read at init.
 """
 
 from __future__ import annotations
 
 import os
+from bisect import bisect_right
+from collections import OrderedDict
 
 import numpy as np
-import pyarrow.compute as pc
+import pyarrow as pa
 import pyarrow.dataset as pads
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -33,6 +51,152 @@ from ..operators.blocks import blocks_to_postings
 from ..operators.wand import search_blocks
 from ..sources.catalog import IndexCatalog
 from .query import score_queries
+
+# dense dl array when max_doc_id+1 <= this multiple of the doc count
+_DENSE_DL_MAX_OVERHEAD = 4
+_TERM_CACHE_SIZE = 8192
+
+
+class _DenseDL:
+    """doc_id -> dl as a direct-indexed float64 array (8 bytes per id
+    SLOT — right when ids are dense; see module docstring for limits)."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, doc_ids: np.ndarray, dls: np.ndarray, max_id: int):
+        self.arr = np.zeros(max_id + 1 if max_id >= 0 else 0, dtype=np.float64)
+        if len(doc_ids):
+            self.arr[doc_ids] = dls
+
+    def __getitem__(self, doc_id):
+        return self.arr[doc_id]
+
+
+class _SortedDL:
+    """doc_id -> dl by binary search over sorted ids: 16 bytes per
+    EXISTING doc, independent of the id-space size (sparse/huge ids)."""
+
+    __slots__ = ("ids", "dls")
+
+    def __init__(self, doc_ids: np.ndarray, dls: np.ndarray):
+        order = np.argsort(doc_ids)
+        self.ids = doc_ids[order]
+        self.dls = dls[order]
+
+    def __getitem__(self, doc_id):
+        i = int(np.searchsorted(self.ids, doc_id))
+        if i < len(self.ids) and self.ids[i] == doc_id:
+            return self.dls[i]
+        return 0.0
+
+
+def _make_dl_store(doc_ids: np.ndarray, dls: np.ndarray):
+    if len(doc_ids) == 0:
+        return _DenseDL(doc_ids, dls, -1)
+    max_id = int(doc_ids.max())
+    if max_id + 1 <= _DENSE_DL_MAX_OVERHEAD * len(doc_ids):
+        return _DenseDL(doc_ids, dls, max_id)
+    return _SortedDL(doc_ids, dls)
+
+
+_BLOCK_COLS = [
+    "term", "block_id", "last_docid", "base_docid",
+    "max_tf", "doc_bytes", "freq_bytes",
+]
+
+
+class _BlockDirectory:
+    """Per-row-group (term_min, term_max) directory over blocks/.
+
+    Built once from parquet FOOTERS (no payload I/O). Fetches read only
+    the row groups whose term range can contain a query term, found by
+    binary search — O(log #row_groups + matches) per term, the scale
+    behavior of the reference's lexicon-offset seek. Files are
+    memory-mapped and ParquetFile handles cached, so a warm fetch costs
+    one row-group decode."""
+
+    def __init__(self, blocks_dir: str):
+        import pyarrow.parquet as pq
+
+        self._pq = pq
+        entries = []  # (term_min, term_max, path, rg_idx, shard)
+        for shard_dir in sorted(os.listdir(blocks_dir)):
+            full = os.path.join(blocks_dir, shard_dir)
+            if not (shard_dir.startswith("shard=") and os.path.isdir(full)):
+                continue
+            shard = int(shard_dir.split("=", 1)[1])
+            for fname in sorted(os.listdir(full)):
+                if not fname.endswith(".parquet"):
+                    continue
+                path = os.path.join(full, fname)
+                md = pq.ParquetFile(path).metadata
+                term_idx = md.schema.to_arrow_schema().get_field_index("term")
+                for rg in range(md.num_row_groups):
+                    stats = md.row_group(rg).column(term_idx).statistics
+                    if stats is None or not stats.has_min_max:
+                        entries.append(("", "\U0010ffff", path, rg, shard))
+                    else:
+                        entries.append((stats.min, stats.max, path, rg, shard))
+        entries.sort(key=lambda e: (e[0], e[1]))
+        self._entries = entries
+        self._mins = [e[0] for e in entries]
+        self._maxs_sorted_prefix_ok = all(
+            entries[i][1] <= entries[i + 1][1] for i in range(len(entries) - 1)
+        )
+        self._files: dict[str, object] = {}
+
+    def _file(self, path: str):
+        pf = self._files.get(path)
+        if pf is None:
+            pf = self._pq.ParquetFile(path, memory_map=True)
+            self._files[path] = pf
+        return pf
+
+    def _row_groups_for(self, terms: list[str]) -> dict[tuple[str, int], int]:
+        """-> {(path, rg_idx): shard} for row groups possibly holding any
+        query term."""
+        hit: dict[tuple[str, int], int] = {}
+        n = len(self._entries)
+        for t in terms:
+            # candidates: entries with term_min <= t <= term_max. mins are
+            # sorted; scan left from the insertion point until term ranges
+            # cannot cover t anymore (ranges of a sorted write overlap only
+            # at file/row-group boundaries, so this scan is short).
+            i = bisect_right(self._mins, t) - 1
+            while i >= 0:
+                tmin, tmax, path, rg, shard = self._entries[i]
+                if tmax >= t:
+                    hit[(path, rg)] = shard
+                elif self._maxs_sorted_prefix_ok:
+                    break  # maxs nondecreasing -> nothing further left covers t
+                i -= 1
+        return hit
+
+    def fetch(self, terms: list[str]) -> dict[str, list]:
+        """-> {term: [(shard, block_id, last_docid, base_docid, max_tf,
+        doc_bytes, freq_bytes)]} reading only matching row groups."""
+        import pyarrow.compute as pc
+
+        rows: dict[str, list] = {}
+        want = self._row_groups_for(terms)
+        by_path: dict[str, list[int]] = {}
+        shard_of: dict[tuple[str, int], int] = {}
+        for (path, rg), shard in want.items():
+            by_path.setdefault(path, []).append(rg)
+            shard_of[(path, rg)] = shard
+        term_set = set(terms)
+        for path, rgs in by_path.items():
+            pf = self._file(path)
+            shard = shard_of[(path, rgs[0])]
+            tbl = pf.read_row_groups(sorted(rgs), columns=_BLOCK_COLS)
+            mask = pc.is_in(tbl.column("term"), value_set=pa.array(sorted(term_set)))
+            tbl = tbl.filter(mask)
+            if tbl.num_rows == 0:
+                continue
+            cols = [tbl.column(c).to_pylist() for c in _BLOCK_COLS]
+            for term, bid, last, base, mtf, db, fb in zip(*cols):
+                rows.setdefault(term, []).append((shard, bid, last, base, mtf, db, fb))
+        return rows
 
 
 class SearchEngine:
@@ -58,28 +222,29 @@ class SearchEngine:
         ).to_table(columns=["doc_id", "dl"])
         doc_ids = np.asarray(ds.column("doc_id"))
         dls = np.asarray(ds.column("dl"), dtype=np.float64)
-        self.dl = np.zeros(int(doc_ids.max()) + 1 if len(doc_ids) else 0)
-        self.dl[doc_ids] = dls
-        self._blocks_ds = pads.dataset(
-            os.path.join(index_dir, "blocks"), partitioning="hive"
-        )
+        self.dl = _make_dl_store(doc_ids, dls)
+        self._dir = _BlockDirectory(os.path.join(index_dir, "blocks"))
+        self._term_cache: OrderedDict[str, list] = OrderedDict()
 
     def _fetch_blocks(self, terms: list[str]) -> dict[str, list]:
-        tbl = self._blocks_ds.to_table(
-            columns=[
-                "term", "shard", "block_id", "last_docid", "base_docid",
-                "max_tf", "doc_bytes", "freq_bytes",
-            ],
-            filter=pc.field("term").isin(terms),
-        )
-        rows: dict[str, list] = {}
-        cols = [tbl.column(c).to_pylist() for c in (
-            "term", "shard", "block_id", "last_docid", "base_docid",
-            "max_tf", "doc_bytes", "freq_bytes",
-        )]
-        for term, shard, bid, last, base, mtf, db, fb in zip(*cols):
-            rows.setdefault(term, []).append((shard, bid, last, base, mtf, db, fb))
-        return rows
+        out: dict[str, list] = {}
+        missing = []
+        for t in terms:
+            cached = self._term_cache.get(t)
+            if cached is not None:
+                self._term_cache.move_to_end(t)
+                out[t] = cached
+            else:
+                missing.append(t)
+        if missing:
+            fetched = self._dir.fetch(missing)
+            for t in missing:
+                blk = fetched.get(t, [])
+                out[t] = blk
+                self._term_cache[t] = blk
+                if len(self._term_cache) > _TERM_CACHE_SIZE:
+                    self._term_cache.popitem(last=False)
+        return out
 
     def search(
         self,

@@ -16,8 +16,15 @@ schema. Layout under <index_dir>/:
                sha256 invariant vs the source table (input_hint), in
                ONE table (column pruning makes the dl-only read free).
   stats.json   {n_docs, avgdl, codec, block_size, shard_size}
-  manifest/    (shard, n_docs, n_postings, n_blocks, finished_ts) —
-               one row per COMPLETED shard; the resume checkpoint.
+  manifest/    (shard, n_docs, sum_dl, n_postings, n_blocks, build_sec,
+               finished_unix, codec, block_size, shard_size) — one row
+               per COMPLETED shard; the resume checkpoint AND the
+               corpus-stats rollup source (n_docs/avgdl aggregate from
+               these rows, never from a docs_meta rescan). Written
+               driver-side via pyarrow — a metadata commit, the same
+               way Iceberg writes manifest files.
+  _batch_ledger.json  streaming-append idempotency ledger (see
+               streaming/incremental.py).
 """
 
 from __future__ import annotations
