@@ -193,12 +193,16 @@ def boolean_search(postings: DataFrame, query: str, mode: str = "AND") -> DataFr
     hits = postings.filter(F.col("term").isin(terms)).select("term", "doc_id").distinct()
     if mode.upper() == "OR":
         return hits.select("doc_id").distinct()
-    present = [r["term"] for r in hits.select("term").distinct().collect()]
-    if not present:
-        return spark.createDataFrame([], "doc_id long")
+    # AND gate: |distinct PRESENT terms| rides the same plan as a
+    # broadcast scalar (no separate driver collect + extra job; absent
+    # query terms are dropped before gating, searcher.py:74-81 semantics)
+    n_present = hits.select("term").distinct().agg(
+        F.count("*").alias("n_present")
+    )
     return (
         hits.groupBy("doc_id")
         .agg(F.count("*").alias("n"))
-        .filter(F.col("n") == len(present))
+        .crossJoin(F.broadcast(n_present))
+        .filter(F.col("n") == F.col("n_present"))
         .select("doc_id")
     )
