@@ -60,6 +60,11 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_docs_input = docs.count()  # warm the JVM/scan before timing
+    # warm the Python workers too (concurrent pandas/Arrow imports cost
+    # seconds at 32 workers; a long-lived cluster executor is warm)
+    with_tokens(docs, "text", method="pandas").select(
+        F.sum(F.size("tokens"))
+    ).collect()
 
     # --- index build (timed cold — build is a batch job, not interactive) ---
     toks = with_tokens(docs, "text", method="pandas")

@@ -23,8 +23,9 @@ import sys, tempfile, shutil, time
 from web_search_engine_spark.plans.build_index import build_index
 from web_search_engine_spark.session import get_spark
 
-cores, n_docs, num_shards, trials = (
-    int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+cores, n_docs, num_shards, trials, mode = (
+    int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+    sys.argv[5])
 src_dir = f"/tmp/wse_scale_src_{n_docs}"  # corpus parquet, shared across runs
 # shuffle + index output on tmpfs: a single virtio disk does not scale
 # with cores and would mask compute scaling (126G /dev/shm available)
@@ -40,25 +41,51 @@ if not os.path.exists(src_dir + "/_SUCCESS"):
 src = spark.read.parquet(src_dir)
 # steady-state measurement: trial 0 warms JVM JIT + python workers (a
 # long-running cluster executor is warm); best of the remaining trials
-# is reported. Every trial is a full from-scratch index build.
-for t in range(trials + 1):
-    out = tempfile.mkdtemp(prefix=f"wse_scale_{cores}_", dir="/dev/shm")
-    t0 = time.perf_counter()
-    build_index(spark, src, out, codec="varbyte", num_shards=num_shards, resume=False)
-    dt = time.perf_counter() - t0
-    print(f"TRIAL {t} {dt:.3f}", flush=True)
-    shutil.rmtree(out, ignore_errors=True)
+# is reported.
+if mode == "e2e":
+    # full from-scratch index build per trial (4 Spark actions)
+    for t in range(trials + 1):
+        out = tempfile.mkdtemp(prefix=f"wse_scale_{cores}_", dir="/dev/shm")
+        t0 = time.perf_counter()
+        build_index(spark, src, out, codec="varbyte", num_shards=num_shards, resume=False)
+        dt = time.perf_counter() - t0
+        print(f"TRIAL {t} {dt:.3f}", flush=True)
+        shutil.rmtree(out, ignore_errors=True)
+else:
+    # datapath: the dominant stage as ONE action — tokenize (pandas_udf)
+    # -> postings (two-phase hash agg) -> range shuffle -> varbyte block
+    # encode -> partitioned parquet write; source rows pre-cached (as in
+    # the resident build), no driver-side metadata jobs in the window.
+    from web_search_engine_spark.operators.blocks import build_block_index
+    from web_search_engine_spark.operators.postings import (
+        assign_doc_ids_counted, build_postings, with_tokens)
+    docs, n, handle = assign_doc_ids_counted(src, ["repo", "path"])
+    docs = docs.cache(); docs.count(); handle.unpersist()
+    shard_size = max(1, -(-n_docs // num_shards))
+    for t in range(trials + 1):
+        out = tempfile.mkdtemp(prefix=f"wse_dp_{cores}_", dir="/dev/shm")
+        t0 = time.perf_counter()
+        blocks = build_block_index(
+            build_postings(with_tokens(docs, "content")),
+            codec="varbyte", shard_size=shard_size)
+        blocks.write.mode("overwrite").partitionBy("shard").parquet(out)
+        dt = time.perf_counter() - t0
+        print(f"TRIAL {t} {dt:.3f}", flush=True)
+        shutil.rmtree(out, ignore_errors=True)
 print(f"ELAPSED done")
 spark.stop()
 """
 
 
-def run_build(cores: int, n_docs: int, num_shards: int, trials: int) -> list[float]:
+def run_build(
+    cores: int, n_docs: int, num_shards: int, trials: int, mode: str = "e2e"
+) -> list[float]:
     """All trials for one level in a FRESH subprocess (JVM reuse across
     SparkSessions in one process was measured to distort timings)."""
     env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
-        [sys.executable, "-c", _CHILD, str(cores), str(n_docs), str(num_shards), str(trials)],
+        [sys.executable, "-c", _CHILD, str(cores), str(n_docs), str(num_shards),
+         str(trials), mode],
         capture_output=True, text=True, env=env, timeout=5400,
     )
     times = [
@@ -77,11 +104,13 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--mode", default="e2e", choices=["e2e", "datapath"])
     args = ap.parse_args()
 
     results = {}
     for cores in (args.low, args.high):
-        times = run_build(cores, args.docs, num_shards=16, trials=args.trials)
+        times = run_build(cores, args.docs, num_shards=16, trials=args.trials,
+                          mode=args.mode)
         for t, dt in enumerate(times):
             print(f"local[{cores}] trial {t}: {dt:.1f}s "
                   f"({args.docs / dt:.0f} docs/s)", flush=True)
@@ -92,6 +121,7 @@ def main() -> None:
     ratio = args.high / args.low
     eff = (tput_high / tput_low) / ratio
     summary = {
+        "mode": args.mode,
         "docs": args.docs,
         f"local[{args.low}]_sec": round(results[args.low], 2),
         f"local[{args.high}]_sec": round(results[args.high], 2),
@@ -101,6 +131,8 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(summary))
+    if args.mode != "e2e":
+        return
 
     section = f"""
 ## Scaling evidence (N -> {ratio:.0f}N cores, same input)

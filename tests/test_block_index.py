@@ -248,3 +248,47 @@ def test_empty_source_builds_clean_empty_index(spark, tmp_path):
     assert cat.lexicon().count() == 0
     eng = SearchEngine(d)
     assert eng.search("anything at all") == []
+
+
+def test_manifest_metrics_match_tables(spark, tmp_path):
+    """Per-shard manifest rows ride the writes as Observation metrics —
+    they must equal what a direct aggregation of the written tables
+    says (guards the conditional-agg expressions)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from web_search_engine_spark.plans.build_index import build_index
+
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus_df(spark, n_docs=200, seed=42), d, num_shards=3)
+
+    man = {
+        int(r["shard"]): (int(r["n_docs"]), int(r["sum_dl"]),
+                          int(r["n_postings"]), int(r["n_blocks"]))
+        for r in spark.read.parquet(os.path.join(d, "manifest")).collect()
+    }
+    meta = {
+        int(r["shard"]): (int(r["nd"]), int(r["sdl"]))
+        for r in spark.read.parquet(os.path.join(d, "docs_meta"))
+        .groupBy("shard").agg(F.count("*").alias("nd"), F.sum("dl").alias("sdl"))
+        .collect()
+    }
+    blk = {
+        int(r["shard"]): (int(r["np"]), int(r["nb"]))
+        for r in spark.read.parquet(os.path.join(d, "blocks"))
+        .groupBy("shard").agg(F.sum("n").alias("np"), F.count("*").alias("nb"))
+        .collect()
+    }
+    assert set(man) == set(meta) == set(blk)
+    for s, (nd, sdl, np_, nb) in man.items():
+        assert (nd, sdl) == meta[s], s
+        assert (np_, nb) == blk[s], s
+
+    # stats.json must equal the manifest rollup
+    from web_search_engine_spark.sources.catalog import read_stats
+
+    st = read_stats(d)
+    assert st["n_docs"] == sum(v[0] for v in man.values())
+    total_dl = sum(v[1] for v in man.values())
+    assert abs(st["avgdl"] - total_dl / st["n_docs"]) < 1e-9

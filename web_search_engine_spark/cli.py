@@ -80,6 +80,41 @@ def cmd_inspect(args) -> None:
     print(json.dumps(stats, indent=1))
 
 
+def cmd_serve(args) -> None:
+    """JSON search service over a built index (the reference's Flask
+    app.py analog; POST /search)."""
+    from .plans.serve import make_server
+
+    server = make_server(args.index, host=args.host, port=args.port)
+    host, port = server.server_address
+    print(f"serving {args.index} at http://{host}:{port} (POST /search)", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+
+
+def cmd_ingest(args) -> None:
+    """Streaming catch-up ingestion of new parquet files into an index."""
+    from .sources.catalog import read_stats
+    from .streaming.incremental import ingest_available
+
+    spark = _spark(args)
+    t0 = time.time()
+    ingest_available(spark, args.source, args.index, tokenizer=args.tokenizer)
+    stats = read_stats(args.index)
+    print(
+        json.dumps(
+            {
+                "index_dir": args.index,
+                "n_docs": stats["n_docs"],
+                "avgdl": round(float(stats["avgdl"]), 3),
+                "ingest_sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+
+
 def cmd_package(args) -> None:
     """Zip the package for spark-submit --py-files."""
     import os
@@ -122,6 +157,18 @@ def main(argv: list[str] | None = None) -> None:
     i = sub.add_parser("inspect", help="print index stats")
     i.add_argument("--index", required=True)
     i.set_defaults(fn=cmd_inspect)
+
+    s = sub.add_parser("serve", help="JSON search service (POST /search)")
+    s.add_argument("--index", required=True)
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8080)
+    s.set_defaults(fn=cmd_serve)
+
+    g = sub.add_parser("ingest", help="stream new parquet files into an index")
+    g.add_argument("--source", required=True, help="directory of incoming parquet files")
+    g.add_argument("--index", required=True)
+    g.add_argument("--tokenizer", default="pandas", choices=["pandas", "sql"])
+    g.set_defaults(fn=cmd_ingest)
 
     z = sub.add_parser("package", help="zip the engine for spark-submit --py-files")
     z.add_argument("--out", default="web_search_engine_spark.zip")

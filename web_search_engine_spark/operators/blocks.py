@@ -161,11 +161,32 @@ def build_block_index(
     codec: str = CODEC_VARBYTE,
     shard_size: int | None = None,
     num_partitions: int | None = None,
+    shards_hint: int | None = None,
 ) -> DataFrame:
     """(term, doc_id, tf) -> block rows (BLOCK_SCHEMA).
 
     shard_size: max docs per shard (hot-term skew bound). None = single
     shard 0 (byte-identical to the reference whole-corpus build).
+    shards_hint: approximate shard count, used to size term sub-buckets.
+
+    Partitioning: HASH on (shard, term-bucket), then sort within
+    partitions — every (shard, term) group lands whole in one partition
+    with its postings doc_id-ordered (the encoder's invariant).
+    Deliberately NOT repartitionByRange: the RangePartitioner's
+    reservoir-sampling job recomputes the ENTIRE child lineage
+    (tokenize -> explode -> agg) a second time before the real pass —
+    measured as a full extra postings pass per build. Hash partitioning
+    needs no sampling; term-clustering for scan pruning comes from the
+    within-partition sort (tight per-ROW-GROUP term ranges), not from
+    cross-partition range order.
+
+    The term BUCKET (xxhash64(term) % sub, sub ~= partitions/shards)
+    keeps two properties at once: when shards >> cores (the 100 TB
+    regime) sub collapses to 1 and each task holds whole shards, so the
+    partitioned write emits O(1) files per shard dir (never the
+    tasks x shards small-file blowup); when shards < cores (small
+    indexes) the buckets restore full write parallelism at the cost of
+    `sub` files per shard dir.
     """
     spark = postings.sparkSession
     if shard_size:
@@ -175,8 +196,9 @@ def build_block_index(
     else:
         sharded = postings.withColumn("shard", F.lit(0).cast("int"))
     n_part = num_partitions or spark.sparkContext.defaultParallelism
-    ordered = sharded.repartitionByRange(
-        n_part, "shard", "term"
+    sub = max(1, n_part // max(1, shards_hint)) if shards_hint else n_part
+    ordered = sharded.repartition(
+        n_part, "shard", F.pmod(F.xxhash64("term"), F.lit(sub))
     ).sortWithinPartitions("shard", "term", "doc_id")
     return ordered.mapInPandas(_block_builder(block_size, codec), BLOCK_SCHEMA)
 

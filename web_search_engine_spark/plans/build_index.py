@@ -292,12 +292,22 @@ def build_index(
                 docs_meta = docs_meta.observe(
                     docs_obs, *_per_shard_observe_exprs(pending, "docs")
                 )
-            # repartition by shard before the partitioned write: without it
-            # every task writes a file into every shard directory
-            # (tasks x shards small files; measured 14x slower at 32 cores)
-            docs_meta.repartition("shard").write.mode("overwrite").partitionBy(
-                "shard"
-            ).parquet(os.path.join(index_dir, "docs_meta"))
+            # repartition by (shard, doc_id-bucket) before the partitioned
+            # write: plain task-output writes put a file from every task
+            # into every shard dir (tasks x shards small files; measured
+            # 14x slower at 32 cores), while repartition("shard") alone
+            # caps the write stage at num_shards tasks — fewer than the
+            # cores when shards < cores (the sandbox shape; at 100 TB
+            # shards >> cores and sub collapses to 1). Sub-bucketing
+            # keeps files-per-shard = sub and parallelism = cores.
+            sub = max(
+                1, spark.sparkContext.defaultParallelism // max(1, len(pending))
+            )
+            docs_meta.repartition(
+                F.col("shard"), F.pmod(F.col("doc_id"), F.lit(sub))
+            ).write.mode("overwrite").partitionBy("shard").parquet(
+                os.path.join(index_dir, "docs_meta")
+            )
 
             # postings -> blocks (the shuffle IS the merge); shard derives
             # from doc_id inside build_block_index with the same shard_size.
@@ -306,6 +316,7 @@ def build_index(
                 block_size=block_size,
                 codec=codec,
                 shard_size=shard_size,
+                shards_hint=len(pending),
             )
             if use_observe:
                 blocks_obs = Observation("blocks_per_shard")

@@ -196,6 +196,7 @@ def append_batch(
         blocks = build_block_index(
             build_postings(toks),
             block_size=block_size, codec=codec, shard_size=shard_size,
+            shards_hint=len(new_shards),
         )
         blocks.write.mode("overwrite").partitionBy("shard").parquet(
             os.path.join(index_dir, "blocks")
