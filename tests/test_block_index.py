@@ -292,3 +292,28 @@ def test_manifest_metrics_match_tables(spark, tmp_path):
     assert st["n_docs"] == sum(v[0] for v in man.values())
     total_dl = sum(v[1] for v in man.values())
     assert abs(st["avgdl"] - total_dl / st["n_docs"]) < 1e-9
+
+
+def test_three_kernels_identical(index_dir, oracle, monkeypatch):
+    """TAAT (vectorized), block-max WAND (cursor loop) and unpruned DAAT
+    must agree doc-for-doc with bit-identical scores: all three sum the
+    per-term contributions in sorted-term order with the same float64
+    expression."""
+    import random
+
+    import web_search_engine_spark.operators.wand as W
+
+    eng = SearchEngine(index_dir)
+    rng = random.Random(99)
+    vocab = sorted(oracle.index)
+    queries = [f"{rng.choice(vocab)} {rng.choice(vocab)} {rng.choice(vocab)}"
+               for _ in range(25)]
+    for q in queries:
+        monkeypatch.setattr(W, "TAAT_MAX_POSTINGS", 10**12)
+        taat = eng.search(q, mode="OR", topk=10, use_wand=True)
+        monkeypatch.setattr(W, "TAAT_MAX_POSTINGS", 0)
+        wand = eng.search(q, mode="OR", topk=10, use_wand=True)
+        plain = eng.search(q, mode="OR", topk=10, use_wand=False)
+        assert [d for d, _ in taat] == [d for d, _ in wand] == [d for d, _ in plain], q
+        for (_, st), (_, sw), (_, sp) in zip(taat, wand, plain):
+            assert st == sw == sp, (q, st, sw, sp)

@@ -231,7 +231,11 @@ def wand_or(cursors, weights, dl_lookup, avgdl, topk, block_max=True):
         live = [c for c in live if not c.exhausted()]
         if not live:
             break
-        live.sort(key=lambda c: c.docid())
+        # secondary key TERM pins the summation order for cursors tied
+        # on one docid to sorted-term order — the same float64 addition
+        # sequence as DAAT's heap pops and the vectorized TAAT passes
+        # (bit-identical scores across all three kernels, tested)
+        live.sort(key=lambda c: (c.docid(), c.term))
         theta = top.theta()
         # pivot: first prefix whose term-ub sum could beat theta
         acc = 0.0
@@ -280,6 +284,64 @@ def wand_or(cursors, weights, dl_lookup, avgdl, topk, block_max=True):
     return top.result()
 
 
+# Below this many total postings across the query's terms, the
+# numpy-vectorized TAAT kernel beats cursor-driven WAND: the Python
+# DAAT loop costs ~8 us per visited posting while TAAT scores ~30 ns
+# per posting, so WAND only wins when pruning skips >99% of postings —
+# which needs long, score-skewed lists (big indexes), not short ones.
+TAAT_MAX_POSTINGS = 2_000_000
+
+
+def decode_term_postings(blocks: list, codec: str) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate one term's blocks into flat (docids, tfs) arrays
+    (blocks pre-sorted by (shard, block_id) = global docid order)."""
+    ids, tfs = [], []
+    for last, base, _mtf, db, fb in blocks:
+        d, f = C.decode_block(db, fb, int(base), codec)
+        ids.append(d)
+        tfs.append(f)
+    if not ids:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return (
+        np.concatenate(ids).astype(np.int64),
+        np.concatenate(tfs).astype(np.int64),
+    )
+
+
+def taat_or(term_entries, dl_lookup, avgdl, topk, k1=BM25_K1, b=BM25_B):
+    """Vectorized term-at-a-time OR scoring — the reference's TAAT
+    ranker (HW2/engine/ranker.py:52-74) as numpy array passes.
+
+    term_entries = [(idf, weight, docids, tfs)] in SORTED-TERM order.
+    Bit-identical to the DAAT kernels: for each doc the per-term score
+    additions happen in the same (sorted-term) order the tied-cursor sum
+    uses, and each term score is computed with the exact expression of
+    BlockCursor.score_current.
+    """
+    if not term_entries:
+        return []
+    union = np.unique(np.concatenate([ids for _, _, ids, _ in term_entries]))
+    if isinstance(dl_lookup, np.ndarray):
+        dls = dl_lookup[union]
+    elif hasattr(dl_lookup, "take_ids"):
+        dls = dl_lookup.take_ids(union)
+    else:
+        dls = np.array([float(dl_lookup[int(d)]) for d in union])
+    scores = np.zeros(len(union), dtype=np.float64)
+    for idf, w, ids, tfs in term_entries:
+        pos = np.searchsorted(union, ids)
+        tf = tfs.astype(np.float64)
+        denom = tf + k1 * (1.0 - b + b * (dls[pos] / avgdl))
+        scores[pos] += w * (idf * (tf * (k1 + 1.0)) / denom)
+    live = dls > 0.0  # dl=0 docs are never scored (daat_ranker.py:121-123)
+    union, scores = union[live], scores[live]
+    if not len(union):
+        return []
+    # (score desc, doc_id asc) — lexsort: last key is primary
+    order = np.lexsort((union, -scores))[:topk]
+    return [(int(union[i]), float(scores[i])) for i in order]
+
+
 def search_blocks(
     block_rows: dict[str, list],
     term_dfs: dict[str, int],
@@ -293,12 +355,20 @@ def search_blocks(
     k1: float = BM25_K1,
     b: float = BM25_B,
     use_wand: bool = True,
+    flat_cache: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Score a query given collected block rows per term.
 
     block_rows[term] = [(shard, block_id, last_docid, base_docid, max_tf,
     doc_bytes, freq_bytes)] in any order; sorted here by (shard, block_id)
     which is global docid order.
+
+    Kernel choice (use_wand=True): vectorized TAAT when the query's
+    total posting volume is small (<= TAAT_MAX_POSTINGS), cursor-driven
+    block-max WAND beyond that (pruning needs long lists to pay off).
+    use_wand=False forces the exhaustive DAAT OR (the differential
+    baseline). ``flat_cache`` (term -> decoded arrays) lets a serving
+    engine amortize block decodes across repeated queries.
     """
     from collections import Counter
 
@@ -306,12 +376,33 @@ def search_blocks(
     counts = Counter(t for t in q if t in block_rows and term_dfs.get(t))
     if not counts:
         return []
-    cursors, weights = [], []
-    for term, wgt in counts.items():
+    sorted_terms = sorted(counts)  # fixed accumulation order (tie policy)
+    total_df = sum(term_dfs[t] for t in sorted_terms)
+
+    def term_blocks(term):
         rows = sorted(block_rows[term], key=lambda r: (r[0], r[1]))
-        blocks = [(r[2], r[3], r[4], r[5], r[6]) for r in rows]
-        cursors.append(BlockCursor(term, term_dfs[term], blocks, codec, n_docs, k1, b))
-        weights.append(float(wgt))
+        return [(r[2], r[3], r[4], r[5], r[6]) for r in rows]
+
+    if mode.upper() == "OR" and use_wand and total_df <= TAAT_MAX_POSTINGS:
+        entries = []
+        for term in sorted_terms:
+            if flat_cache is not None and term in flat_cache:
+                ids, tfs = flat_cache[term]
+            else:
+                ids, tfs = decode_term_postings(term_blocks(term), codec)
+                if flat_cache is not None:
+                    flat_cache[term] = (ids, tfs)
+            entries.append(
+                (bm25_idf(n_docs, term_dfs[term]), float(counts[term]), ids, tfs)
+            )
+        return taat_or(entries, dl_lookup, avgdl, topk, k1, b)
+
+    cursors, weights = [], []
+    for term in sorted_terms:
+        cursors.append(
+            BlockCursor(term, term_dfs[term], term_blocks(term), codec, n_docs, k1, b)
+        )
+        weights.append(float(counts[term]))
     if mode.upper() == "AND":
         return daat_and(cursors, weights, dl_lookup, avgdl, topk)
     if use_wand:

@@ -71,6 +71,9 @@ class _DenseDL:
     def __getitem__(self, doc_id):
         return self.arr[doc_id]
 
+    def take_ids(self, doc_ids: np.ndarray) -> np.ndarray:
+        return self.arr[doc_ids]
+
 
 class _SortedDL:
     """doc_id -> dl by binary search over sorted ids: 16 bytes per
@@ -88,6 +91,15 @@ class _SortedDL:
         if i < len(self.ids) and self.ids[i] == doc_id:
             return self.dls[i]
         return 0.0
+
+    def take_ids(self, doc_ids: np.ndarray) -> np.ndarray:
+        if len(self.ids) == 0:
+            return np.zeros(len(doc_ids), dtype=np.float64)
+        pos = np.searchsorted(self.ids, doc_ids)
+        pos = np.minimum(pos, len(self.ids) - 1)
+        out = self.dls[pos].copy()
+        out[self.ids[pos] != doc_ids] = 0.0
+        return out
 
 
 def _make_dl_store(doc_ids: np.ndarray, dls: np.ndarray):
@@ -225,6 +237,9 @@ class SearchEngine:
         self.dl = _make_dl_store(doc_ids, dls)
         self._dir = _BlockDirectory(os.path.join(index_dir, "blocks"))
         self._term_cache: OrderedDict[str, list] = OrderedDict()
+        # term -> decoded flat (docids, tfs): lets repeated queries skip
+        # the block decode entirely (bounded alongside the block LRU)
+        self._flat_cache: OrderedDict[str, tuple] = OrderedDict()
 
     def _fetch_blocks(self, terms: list[str]) -> dict[str, list]:
         out: dict[str, list] = {}
@@ -259,10 +274,14 @@ class SearchEngine:
         if not terms:
             return []
         block_rows = self._fetch_blocks(terms)
-        return search_blocks(
+        out = search_blocks(
             block_rows, self._df, self.codec, self.dl, self.n_docs, self.avgdl,
             query, mode=mode, topk=topk, k1=k1, b=b, use_wand=use_wand,
+            flat_cache=self._flat_cache,
         )
+        while len(self._flat_cache) > _TERM_CACHE_SIZE:
+            self._flat_cache.popitem(last=False)
+        return out
 
 
 def make_snippet(text: str, query: str, width: int = 160) -> str:
