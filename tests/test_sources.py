@@ -1,0 +1,55 @@
+"""Corpus source readers: the reference's TSV line format and JSONL."""
+
+import json
+
+from web_search_engine_spark.plans.build_index import build_index
+from web_search_engine_spark.plans.search import SearchEngine
+from web_search_engine_spark.sources.corpus import read_jsonl_corpus, read_tsv_corpus
+
+
+def test_tsv_corpus_reference_semantics(spark, tmp_path):
+    """Last tab column is the text; blank lines vanish (consume a line
+    number but yield no doc); zero-token non-blank lines stay as dl=0
+    docs — HW2/engine/build_runs_mp.py:60-90 semantics."""
+    p = tmp_path / "collection.tsv"
+    p.write_text(
+        "0\tfirst doc about manhattan project\n"
+        "\n"  # blank: no document
+        "2\tmeta\tlast column wins here\n"
+        "3\t!!! ???\n"  # tokenizes to nothing -> dl=0 doc
+        "4\tmanhattan again\n"
+    )
+    src = read_tsv_corpus(spark, str(p))
+    rows = {r["path"]: r["content"] for r in src.collect()}
+    assert len(rows) == 4  # blank line dropped
+    assert rows["000000000002"] == "last column wins here"
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, src, idx, num_shards=2, tokenizer="sql")
+    eng = SearchEngine(idx)
+    assert eng.n_docs == 4  # dl=0 doc counted, blank line not
+    hits = eng.search("manhattan", "OR", 10)
+    # line order is preserved by the dense-rank relabeling: the two
+    # manhattan docs are lines 0 and 4 -> dense ids 0 and 3
+    assert sorted(d for d, _ in hits) == [0, 3]
+
+
+def test_jsonl_corpus(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    docs = [
+        {"id": "a", "text": "spark shuffle partition"},
+        {"id": "b", "text": "manhattan project"},
+    ]
+    p.write_text("\n".join(json.dumps(d) for d in docs) + "\n")
+
+    by_id = read_jsonl_corpus(spark, str(p), text_field="text", id_field="id")
+    assert {r["path"]: r["content"] for r in by_id.collect()} == {
+        "a": "spark shuffle partition",
+        "b": "manhattan project",
+    }
+
+    by_line = read_jsonl_corpus(spark, str(p), text_field="text")
+    assert [r["content"] for r in by_line.orderBy("path").collect()] == [
+        "spark shuffle partition",
+        "manhattan project",
+    ]

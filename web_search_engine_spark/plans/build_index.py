@@ -323,9 +323,14 @@ def build_index(
                 blocks = blocks.observe(
                     blocks_obs, *_per_shard_observe_exprs(pending, "blocks")
                 )
-            blocks.write.mode("overwrite").partitionBy("shard").parquet(
-                os.path.join(index_dir, "blocks")
-            )
+            # small parquet row groups for the block table: the serving
+            # directory prunes per ROW GROUP on term min/max, and with
+            # hash-bucketed files a term range spans each bucket's whole
+            # sorted run — 4 MB groups keep the false-positive read per
+            # probe bounded at a few MB instead of a 128 MB default group
+            blocks.write.mode("overwrite").option(
+                "parquet.block.size", str(4 * 1024 * 1024)
+            ).partitionBy("shard").parquet(os.path.join(index_dir, "blocks"))
 
             if use_observe:
                 dv, bv = docs_obs.get, blocks_obs.get

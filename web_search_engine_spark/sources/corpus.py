@@ -111,6 +111,77 @@ def corpus_df(spark, n_docs: int = 400, seed: int = 42):
     return spark.createDataFrame(pdf)
 
 
+def read_tsv_corpus(spark, path: str):
+    """The reference's corpus file format as a source (S1): one document
+    per line, text = LAST tab-separated column, blank lines consume a
+    docid but produce no document (HW2/engine/build_runs_mp.py:60-90).
+
+    -> input_hint shape (repo, path, commit, lang, content) with
+    path = zero-padded line number, so the engine's dense-rank doc ids
+    preserve the reference's line ORDER exactly (ids are the gap-free
+    relabeling of the reference's line-number ids; BM25 rank identity
+    only needs the order, which tie-breaks on docid asc).
+
+    Line numbering needs per-file positional indices — the one legitimate
+    RDD use in the engine (zipWithIndex respects text-split order).
+    """
+    from pyspark.sql import functions as F
+
+    numbered = (
+        spark.read.text(path)
+        .rdd.map(lambda r: r[0])
+        .zipWithIndex()
+        .filter(lambda t: t[0].strip() != "")
+        .map(lambda t: (int(t[1]), t[0].split("\t")[-1]))
+    )
+    df = spark.createDataFrame(numbered, "line_no long, content string")
+    return df.select(
+        F.lit("tsv").alias("repo"),
+        F.format_string("%012d", F.col("line_no")).alias("path"),
+        F.lit("").alias("commit"),
+        F.lit("").alias("lang"),
+        F.col("content"),
+    )
+
+
+def read_jsonl_corpus(spark, path: str, text_field: str = "text",
+                      id_field: str | None = None):
+    """JSON-lines corpus -> input_hint shape. ``id_field`` (if given)
+    becomes the natural key; otherwise a TSV-style line order key is
+    derived the same way as read_tsv_corpus."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.json(path)
+    if id_field is not None:
+        return df.select(
+            F.lit("jsonl").alias("repo"),
+            F.col(id_field).cast("string").alias("path"),
+            F.lit("").alias("commit"),
+            F.lit("").alias("lang"),
+            F.col(text_field).cast("string").alias("content"),
+        )
+    numbered = (
+        spark.read.text(path)
+        .rdd.map(lambda r: r[0])
+        .zipWithIndex()
+        .filter(lambda t: t[0].strip() != "")
+        .map(lambda t: (int(t[1]), t[0]))
+    )
+    import json as _json
+
+    rows = numbered.map(
+        lambda t: (t[0], str(_json.loads(t[1]).get(text_field, "")))
+    )
+    df2 = spark.createDataFrame(rows, "line_no long, content string")
+    return df2.select(
+        F.lit("jsonl").alias("repo"),
+        F.format_string("%012d", F.col("line_no")).alias("path"),
+        F.lit("").alias("commit"),
+        F.lit("").alias("lang"),
+        F.col("content"),
+    )
+
+
 def corpus_docs(n_docs: int = 400, seed: int = 42) -> list[tuple[int, str]]:
     """(doc_id, content) with doc_id = dense rank over (repo, path) —
     the oracle-side mirror of operators.postings.assign_doc_ids."""

@@ -198,9 +198,11 @@ def append_batch(
             block_size=block_size, codec=codec, shard_size=shard_size,
             shards_hint=len(new_shards),
         )
-        blocks.write.mode("overwrite").partitionBy("shard").parquet(
-            os.path.join(index_dir, "blocks")
-        )
+        # 4 MB row groups: see plans/build_index.py — per-row-group term
+        # pruning granularity for the serving directory
+        blocks.write.mode("overwrite").option(
+            "parquet.block.size", str(4 * 1024 * 1024)
+        ).partitionBy("shard").parquet(os.path.join(index_dir, "blocks"))
     finally:
         cached_src.unpersist()
 
