@@ -22,17 +22,19 @@ from __future__ import annotations
 import numpy as np
 
 
-def vb_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
-    """Varbyte-encode an array; also return per-value byte lengths.
+def vb_encode_arrays(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Varbyte-encode an array -> (uint8 byte array, per-value lengths).
 
     Because the format is strictly per-value, the concatenation of any
     slice of values encodes to the corresponding byte slice — callers
     (the block builder) encode a whole Arrow batch in ONE call and cut
-    block payloads at cumulative-length boundaries.
+    block payloads at cumulative-length boundaries. Returning the raw
+    numpy byte array (not ``bytes``) lets the Arrow block builder wrap
+    it zero-copy as a BinaryArray values buffer.
     """
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b"", np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     if values is not v and np.any(np.asarray(values) < 0):
         raise ValueError("varbyte requires non-negative integers")
     nbytes = np.ones(v.size, dtype=np.int64)
@@ -49,6 +51,12 @@ def vb_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
             np.uint8
         )
     out[ends - 1] |= 0x80
+    return out, nbytes
+
+
+def vb_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """vb_encode_arrays with the byte array materialized as ``bytes``."""
+    out, nbytes = vb_encode_arrays(values)
     return out.tobytes(), nbytes
 
 

@@ -39,6 +39,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -48,6 +49,20 @@ from ..functions import codec as C
 BLOCK_SCHEMA = (
     "term string, shard int, block_id int, n int, last_docid long, "
     "base_docid long, max_tf long, doc_bytes binary, freq_bytes binary"
+)
+
+_ARROW_BLOCK_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("shard", pa.int32()),
+        ("block_id", pa.int32()),
+        ("n", pa.int32()),
+        ("last_docid", pa.int64()),
+        ("base_docid", pa.int64()),
+        ("max_tf", pa.int64()),
+        ("doc_bytes", pa.binary()),
+        ("freq_bytes", pa.binary()),
+    ]
 )
 
 
@@ -128,29 +143,144 @@ def _encode_batch(pdf: pd.DataFrame, block_size: int, codec: str) -> pd.DataFram
     )
 
 
-def _block_builder(block_size: int, codec: str):
-    """mapInPandas function: stream batches, carry the trailing
-    (shard, term) group so a group split across Arrow batches is
-    encoded exactly once."""
+def _empty_block_batch() -> pa.RecordBatch:
+    return pa.RecordBatch.from_arrays(
+        [pa.array([], type=f.type) for f in _ARROW_BLOCK_SCHEMA],
+        schema=_ARROW_BLOCK_SCHEMA,
+    )
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        leftover: pd.DataFrame | None = None
-        for pdf in batches:
-            if leftover is not None and len(leftover):
-                pdf = pd.concat([leftover, pdf], ignore_index=True)
-            if len(pdf) == 0:
+
+def _binary_from_slices(values: np.ndarray, byte_offsets: np.ndarray) -> pa.Array:
+    """Zero-copy BinaryArray: row b = values[byte_offsets[b]:byte_offsets[b+1]].
+
+    The (values, offsets) pair becomes the Arrow buffers directly — no
+    per-block ``bytes(memoryview[...])`` slicing loop (that loop was the
+    measured scaling bottleneck of the blocks-write stage). Offsets are
+    int32 per the Binary layout; one Arrow batch's payload is far below
+    2 GB (batches are bounded by maxRecordsPerBatch and carried groups
+    by shard_size postings).
+    """
+    if byte_offsets[-1] > np.iinfo(np.int32).max:
+        raise ValueError("block payload batch exceeds 2 GB Binary offset range")
+    offs = np.ascontiguousarray(byte_offsets, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), len(offs) - 1, [None, pa.py_buffer(offs), pa.py_buffer(values)]
+    )
+
+
+def _group_change_mask(batch: pa.RecordBatch) -> np.ndarray:
+    """bool[n-1]: row i+1 starts a new (shard, term) group — computed
+    with Arrow kernels, no Python string materialization."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    term = batch.column("term")
+    shard = batch.column("shard")
+    chg = pc.or_(
+        pc.not_equal(term.slice(1), term.slice(0, n - 1)),
+        pc.not_equal(shard.slice(1), shard.slice(0, n - 1)),
+    )
+    return chg.to_numpy(zero_copy_only=False)
+
+
+def _encode_arrow(batch: pa.RecordBatch, block_size: int, codec: str) -> pa.RecordBatch:
+    """Arrow-native block builder: one sorted (shard, term, doc_id)
+    RecordBatch -> block rows, with payload columns built zero-copy from
+    (values-buffer, offsets) pairs. Same block arithmetic and byte
+    format as _encode_batch (the pandas spec implementation — tested
+    identical)."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    if n == 0:
+        return _empty_block_batch()
+    docids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    tfs = np.asarray(batch.column("tf"), dtype=np.int64)
+
+    new_group = np.empty(n, dtype=bool)
+    new_group[0] = True
+    if n > 1:
+        new_group[1:] = _group_change_mask(batch)
+    group_starts = np.flatnonzero(new_group)
+    group_of_row = np.cumsum(new_group) - 1
+    row_in_group = np.arange(n) - group_starts[group_of_row]
+
+    new_block = new_group | (row_in_group % block_size == 0)
+    block_starts = np.flatnonzero(new_block)
+    bounds = np.append(block_starts, n)  # len nblocks+1; blocks tile [0, n)
+    block_ends = bounds[1:] - 1
+    block_id = (row_in_group[block_starts] // block_size).astype(np.int32)
+    n_in_block = (bounds[1:] - block_starts).astype(np.int32)
+    last_docid = docids[block_ends]
+    base_docid = np.where(block_id == 0, 0, docids[np.maximum(block_starts - 1, 0)])
+    max_tf = np.maximum.reduceat(tfs, block_starts)
+
+    if codec == CODEC_VARBYTE:
+        gaps = np.empty(n, dtype=np.int64)
+        gaps[0] = docids[0]
+        np.subtract(docids[1:], docids[:-1], out=gaps[1:])
+        gaps[group_starts] = docids[group_starts]
+        if np.any(gaps < 0):
+            raise ValueError("postings not sorted by (shard, term, doc_id)")
+        doc_buf, doc_lens = C.vb_encode_arrays(gaps.astype(np.uint64))
+        freq_buf, freq_lens = C.vb_encode_arrays(tfs.astype(np.uint64))
+        doc_bytes = _binary_from_slices(
+            doc_buf, np.concatenate(([0], np.cumsum(doc_lens)))[bounds]
+        )
+        freq_bytes = _binary_from_slices(
+            freq_buf, np.concatenate(([0], np.cumsum(freq_lens)))[bounds]
+        )
+    else:
+        d32 = np.ascontiguousarray(docids.astype("<u4")).view(np.uint8)
+        f32 = np.ascontiguousarray(tfs.astype("<u4")).view(np.uint8)
+        doc_bytes = _binary_from_slices(d32, bounds * 4)
+        freq_bytes = _binary_from_slices(f32, bounds * 4)
+
+    idx = pa.array(block_starts)
+    return pa.RecordBatch.from_arrays(
+        [
+            pc.take(batch.column("term"), idx).cast(pa.string()),
+            pc.take(batch.column("shard"), idx).cast(pa.int32()),
+            pa.array(block_id),
+            pa.array(n_in_block),
+            pa.array(last_docid),
+            pa.array(base_docid.astype(np.int64)),
+            pa.array(max_tf.astype(np.int64)),
+            doc_bytes,
+            freq_bytes,
+        ],
+        schema=_ARROW_BLOCK_SCHEMA,
+    )
+
+
+def _block_builder(block_size: int, codec: str):
+    """mapInArrow function: stream RecordBatches, carry the trailing
+    (shard, term) group so a group split across Arrow batches is
+    encoded exactly once. All slicing is zero-copy Arrow."""
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        leftover: pa.RecordBatch | None = None
+        for batch in batches:
+            if leftover is not None and leftover.num_rows:
+                batch = (
+                    pa.Table.from_batches([leftover, batch])
+                    .combine_chunks()
+                    .to_batches(max_chunksize=None)[0]
+                )
+            n = batch.num_rows
+            if n == 0:
                 continue
-            last_term = pdf["term"].iat[-1]
-            last_shard = pdf["shard"].iat[-1]
-            tail_mask = (pdf["term"] == last_term) & (pdf["shard"] == last_shard)
             # hold back the final group — it may continue in the next batch
-            cut = len(pdf) - int(tail_mask.iloc[::-1].cumprod().sum())
-            leftover = pdf.iloc[cut:]
-            head = pdf.iloc[:cut]
-            if len(head):
-                yield _encode_batch(head, block_size, codec)
-        if leftover is not None and len(leftover):
-            yield _encode_batch(leftover, block_size, codec)
+            if n > 1:
+                starts = np.flatnonzero(_group_change_mask(batch))
+                cut = int(starts[-1]) + 1 if len(starts) else 0
+            else:
+                cut = 0
+            leftover = batch.slice(cut)
+            if cut:
+                yield _encode_arrow(batch.slice(0, cut), block_size, codec)
+        if leftover is not None and leftover.num_rows:
+            yield _encode_arrow(leftover, block_size, codec)
 
     return build
 
@@ -200,7 +330,7 @@ def build_block_index(
     ordered = sharded.repartition(
         n_part, "shard", F.pmod(F.xxhash64("term"), F.lit(sub))
     ).sortWithinPartitions("shard", "term", "doc_id")
-    return ordered.mapInPandas(_block_builder(block_size, codec), BLOCK_SCHEMA)
+    return ordered.mapInArrow(_block_builder(block_size, codec), BLOCK_SCHEMA)
 
 
 def build_block_index_grouped(
@@ -241,21 +371,71 @@ def lexicon_from_blocks(blocks: DataFrame) -> DataFrame:
     )
 
 
-def _decode_batch(pdf: pd.DataFrame, codec: str) -> pd.DataFrame:
-    terms, docs, tfs = [], [], []
-    for r in pdf.itertuples(index=False):
-        d, f = C.decode_block(r.doc_bytes, r.freq_bytes, int(r.base_docid), codec)
-        terms.append(np.repeat(r.term, len(d)))
-        docs.append(d)
-        tfs.append(f)
-    if not terms:
-        return pd.DataFrame(columns=["term", "doc_id", "tf"])
-    return pd.DataFrame(
-        {
-            "term": np.concatenate(terms),
-            "doc_id": np.concatenate(docs).astype(np.int64),
-            "tf": np.concatenate(tfs).astype(np.int64),
-        }
+_ARROW_POSTING_SCHEMA = pa.schema(
+    [("term", pa.string()), ("doc_id", pa.int64()), ("tf", pa.int64())]
+)
+
+
+def _flat_binary(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(concatenated payload bytes, per-row offsets rebased to 0) for a
+    null-free Binary/LargeBinary array (possibly sliced). Arrow binary
+    offsets are monotonic, so row payloads concatenated in row order ARE
+    the contiguous values-buffer slice — read zero-copy."""
+    odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=odt)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    vals = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    return vals[off[0] : off[-1]], off - off[0]
+
+
+def _decode_arrow(batch: pa.RecordBatch, codec: str) -> pa.RecordBatch:
+    """Vectorized inverse of _encode_arrow: ALL blocks of a batch decode
+    in two codec calls over the concatenated payload buffers; per-block
+    delta chains are re-based with one segmented cumsum. The only
+    per-row work is an Arrow take() for the repeated term column."""
+    import pyarrow.compute as pc
+
+    nb = batch.num_rows
+    if nb == 0:
+        return pa.RecordBatch.from_arrays(
+            [pa.array([], type=f.type) for f in _ARROW_POSTING_SCHEMA],
+            schema=_ARROW_POSTING_SCHEMA,
+        )
+    n_per = np.asarray(batch.column("n"), dtype=np.int64)
+    bases = np.asarray(batch.column("base_docid"), dtype=np.int64)
+    total = int(n_per.sum())
+    starts = np.concatenate(([0], np.cumsum(n_per)))  # len nb+1
+    doc_flat, _ = _flat_binary(batch.column("doc_bytes"))
+    freq_flat, _ = _flat_binary(batch.column("freq_bytes"))
+    if codec == CODEC_VARBYTE:
+        gaps = C.vb_decode(doc_flat).astype(np.int64)
+        tfs = C.vb_decode(freq_flat).astype(np.int64)
+        if len(gaps) != total or len(tfs) != total:
+            raise ValueError("corrupt block payloads: posting count mismatch")
+        csum = np.cumsum(gaps)
+        # docid[i] = base_b + (csum[i] - csum[start_b - 1]); vectorized
+        # as csum + repeat(per-block rebase constant)
+        before = np.where(starts[:-1] > 0, csum[starts[:-1] - 1], 0)
+        docids = csum + np.repeat(bases - before, n_per)
+    else:
+        docids = doc_flat.view("<u4").astype(np.int64)
+        tfs = freq_flat.view("<u4").astype(np.int64)
+        if len(docids) != total or len(tfs) != total:
+            raise ValueError("corrupt block payloads: posting count mismatch")
+    indices = pa.array(np.repeat(np.arange(nb), n_per))
+    return pa.RecordBatch.from_arrays(
+        [
+            pc.take(batch.column("term"), indices).cast(pa.string()),
+            pa.array(docids),
+            pa.array(tfs),
+        ],
+        schema=_ARROW_POSTING_SCHEMA,
     )
 
 
@@ -265,7 +445,7 @@ def blocks_to_postings(blocks: DataFrame, codec: str = CODEC_VARBYTE) -> DataFra
     Embarrassingly parallel (base_docid makes every block
     self-decodable — no cross-block chain at read time).
     """
-    return blocks.mapInPandas(
-        lambda it: (_decode_batch(pdf, codec) for pdf in it),
+    return blocks.mapInArrow(
+        lambda it: (_decode_arrow(b, codec) for b in it),
         "term string, doc_id long, tf long",
     )

@@ -111,48 +111,76 @@ def corpus_df(spark, n_docs: int = 400, seed: int = 42):
     return spark.createDataFrame(pdf)
 
 
+def _numbered_lines(spark, path: str):
+    """Per-file 0-based line numbers for a text source, fully JVM-side
+    (no RDD, no per-row Python — at 100 TB the reader IS the job).
+
+    Order proof: ``monotonically_increasing_id`` is (partition << 33) +
+    row-in-partition, and within one scan partition a file's rows appear
+    in byte order. Splits of a single file are equal-sized chunks (plus
+    one trailing remainder); Spark's stable sort of splits by length
+    keeps equal-length splits in ascending-offset order and can only
+    move the REMAINDER (the file's tail) later — so for every file,
+    ascending (mid) == ascending byte offset, and the per-file
+    row_number over mid reproduces exact line order.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("file").orderBy("mid")
+    return (
+        spark.read.text(path)
+        .select(
+            F.input_file_name().alias("file"),
+            F.monotonically_increasing_id().alias("mid"),
+            "value",
+        )
+        .withColumn("line_no", F.row_number().over(w) - 1)
+    )
+
+
 def read_tsv_corpus(spark, path: str):
     """The reference's corpus file format as a source (S1): one document
     per line, text = LAST tab-separated column, blank lines consume a
     docid but produce no document (HW2/engine/build_runs_mp.py:60-90).
 
     -> input_hint shape (repo, path, commit, lang, content) with
-    path = zero-padded line number, so the engine's dense-rank doc ids
-    preserve the reference's line ORDER exactly (ids are the gap-free
-    relabeling of the reference's line-number ids; BM25 rank identity
-    only needs the order, which tie-breaks on docid asc).
+    path = zero-padded line number and repo = the source file name, so
+    the engine's dense-rank doc ids preserve the reference's line ORDER
+    exactly (ids are the gap-free relabeling of the reference's
+    line-number ids; BM25 rank identity only needs the order, which
+    tie-breaks on docid asc).
 
-    Line numbering needs per-file positional indices — the one legitimate
-    RDD use in the engine (zipWithIndex respects text-split order).
+    Entirely JVM-side: line numbering via per-file row_number (see
+    _numbered_lines), last-column extraction via element_at(split(...)).
     """
     from pyspark.sql import functions as F
 
-    numbered = (
-        spark.read.text(path)
-        .rdd.map(lambda r: r[0])
-        .zipWithIndex()
-        .filter(lambda t: t[0].strip() != "")
-        .map(lambda t: (int(t[1]), t[0].split("\t")[-1]))
-    )
-    df = spark.createDataFrame(numbered, "line_no long, content string")
-    return df.select(
-        F.lit("tsv").alias("repo"),
-        F.format_string("%012d", F.col("line_no")).alias("path"),
-        F.lit("").alias("commit"),
-        F.lit("").alias("lang"),
-        F.col("content"),
+    return (
+        _numbered_lines(spark, path)
+        .filter(F.trim("value") != "")  # blank lines consumed a line_no
+        .select(
+            F.concat(
+                F.lit("tsv:"), F.element_at(F.split("file", "/"), -1)
+            ).alias("repo"),
+            F.format_string("%012d", F.col("line_no")).alias("path"),
+            F.lit("").alias("commit"),
+            F.lit("").alias("lang"),
+            F.element_at(F.split("value", "\t"), -1).alias("content"),
+        )
     )
 
 
 def read_jsonl_corpus(spark, path: str, text_field: str = "text",
                       id_field: str | None = None):
-    """JSON-lines corpus -> input_hint shape. ``id_field`` (if given)
-    becomes the natural key; otherwise a TSV-style line order key is
-    derived the same way as read_tsv_corpus."""
+    """JSON-lines corpus -> input_hint shape, fully JVM-side.
+    ``id_field`` (if given) becomes the natural key via the JSON reader;
+    otherwise a TSV-style line-order key is derived the same way as
+    read_tsv_corpus, with the text field pulled by get_json_object."""
     from pyspark.sql import functions as F
 
-    df = spark.read.json(path)
     if id_field is not None:
+        df = spark.read.json(path)
         return df.select(
             F.lit("jsonl").alias("repo"),
             F.col(id_field).cast("string").alias("path"),
@@ -160,25 +188,20 @@ def read_jsonl_corpus(spark, path: str, text_field: str = "text",
             F.lit("").alias("lang"),
             F.col(text_field).cast("string").alias("content"),
         )
-    numbered = (
-        spark.read.text(path)
-        .rdd.map(lambda r: r[0])
-        .zipWithIndex()
-        .filter(lambda t: t[0].strip() != "")
-        .map(lambda t: (int(t[1]), t[0]))
-    )
-    import json as _json
-
-    rows = numbered.map(
-        lambda t: (t[0], str(_json.loads(t[1]).get(text_field, "")))
-    )
-    df2 = spark.createDataFrame(rows, "line_no long, content string")
-    return df2.select(
-        F.lit("jsonl").alias("repo"),
-        F.format_string("%012d", F.col("line_no")).alias("path"),
-        F.lit("").alias("commit"),
-        F.lit("").alias("lang"),
-        F.col("content"),
+    return (
+        _numbered_lines(spark, path)
+        .filter(F.trim("value") != "")
+        .select(
+            F.concat(
+                F.lit("jsonl:"), F.element_at(F.split("file", "/"), -1)
+            ).alias("repo"),
+            F.format_string("%012d", F.col("line_no")).alias("path"),
+            F.lit("").alias("commit"),
+            F.lit("").alias("lang"),
+            F.coalesce(
+                F.get_json_object("value", f"$['{text_field}']"), F.lit("")
+            ).alias("content"),
+        )
     )
 
 
