@@ -85,15 +85,17 @@ def _block_index(spark: SparkSession, sf_dir: str):
     return build_block_index(_postings(spark, sf_dir), shard_size=100)
 
 
-def _wand_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _wand_gate(spark: SparkSession, sf_dir: str, query: str, mode: str) -> DataFrame:
     """Full physical path under the gate: build a blocked on-disk index
-    (resumable build plan), serve the OR query through SearchEngine's
-    block-max WAND kernel, return (rank, doc_id, score).
+    (resumable build plan), serve the query through SearchEngine's
+    cursor kernels (block-max WAND for OR, galloping intersection for
+    AND), return (rank, doc_id, score).
 
     Mirrors the reference's merged-vs-direct differential
     (HW2/engine/testrun.py:80-104): the oracle is the same relational
     BM25 SQL the non-physical bm25_* rows use — so varbyte codec, block
-    directory seeks, and WAND pruning are all on the hash-compared path.
+    directory seeks, and the pruned kernels are all on the hash-compared
+    path.
     """
     import shutil
     import tempfile
@@ -111,9 +113,18 @@ def _wand_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
             tokenizer="sql", num_shards=4,
         )
         eng = SearchEngine(tmp)
-        # fetch extra, then re-rank on the ROUNDED score (tie doc_id asc)
-        # so the boundary policy matches the oracle exactly
-        hits = eng.search(Q_OR, mode="OR", topk=50, use_wand=True)
+        # force the CURSOR kernels (not the small-index TAAT shortcut):
+        # the gate must cover the seek/prune machinery itself
+        import web_search_engine_spark.operators.wand as W
+
+        saved = W.TAAT_MAX_POSTINGS
+        W.TAAT_MAX_POSTINGS = 0
+        try:
+            # fetch extra, then re-rank on the ROUNDED score (tie doc_id
+            # asc) so the boundary policy matches the oracle exactly
+            hits = eng.search(query, mode=mode, topk=50, use_wand=True)
+        finally:
+            W.TAAT_MAX_POSTINGS = saved
         rows = sorted(((round(s, 6), d) for d, s in hits), key=lambda r: (-r[0], r[1]))
         import pandas as pd
 
@@ -124,6 +135,14 @@ def _wand_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(pdf, "rank int, doc_id long, score double")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _wand_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _wand_gate(spark, sf_dir, Q_OR, "OR")
+
+
+def _wand_top10_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _wand_gate(spark, sf_dir, Q_AND, "AND")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -171,6 +190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_meta": lambda spark, sf: lexicon_from_blocks(_block_index(spark, sf)),
         # J3/J5/O6: on-disk index + block-max WAND serving path
         "wand_top10": _wand_top10,
+        # J3/A8: same physical path, AND mode (galloping intersection
+        # with sorted-term summation — the pinned-order invariant)
+        "wand_top10_and": _wand_top10_and,
         # ---- training-data pipeline operators (beyond the reference) ----
         # dedup: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
         "exact_dups": lambda spark, sf: _dedup.exact_duplicates(_docs(spark, sf)),
@@ -609,6 +631,7 @@ FROM pershard GROUP BY term
         # WAND + varbyte + on-disk index must reproduce the relational
         # BM25 ranking exactly (reference testrun.py:80-104 differential)
         "wand_top10": _bm25_sql(Q_OR, "OR"),
+        "wand_top10_and": _bm25_sql(Q_AND, "AND"),
         "doc_stats": f"WITH {_CTES} SELECT doc_id, dl FROM dl",
         "corpus_stats": f"WITH {_CTES} SELECT n_docs, round(avgdl, 6) AS avgdl FROM stats",
         "doc_len_from_postings": f"WITH {_CTES} SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id",

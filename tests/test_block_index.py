@@ -294,11 +294,14 @@ def test_manifest_metrics_match_tables(spark, tmp_path):
     assert abs(st["avgdl"] - total_dl / st["n_docs"]) < 1e-9
 
 
-def test_three_kernels_identical(index_dir, oracle, monkeypatch):
-    """TAAT (vectorized), block-max WAND (cursor loop) and unpruned DAAT
-    must agree doc-for-doc with bit-identical scores: all three sum the
-    per-term contributions in sorted-term order with the same float64
-    expression."""
+@pytest.mark.parametrize("mode", ["OR", "AND"])
+def test_three_kernels_identical(index_dir, oracle, monkeypatch, mode):
+    """TAAT (vectorized), the pruned cursor kernel (block-max WAND for
+    OR, galloping intersection for AND) and the unpruned cursor DAAT
+    must agree doc-for-doc with bit-identical scores: all kernels sum
+    the per-term contributions in sorted-term order with the same
+    float64 expression (float addition is not associative — the
+    summation order is a pinned invariant, VERDICT r2 #3)."""
     import random
 
     import web_search_engine_spark.operators.wand as W
@@ -308,12 +311,20 @@ def test_three_kernels_identical(index_dir, oracle, monkeypatch):
     vocab = sorted(oracle.index)
     queries = [f"{rng.choice(vocab)} {rng.choice(vocab)} {rng.choice(vocab)}"
                for _ in range(25)]
+    # hot-term conjunctions: random 3-term ANDs rarely co-occur, these do
+    queries += ["the import policy", "the i 0", "import def return",
+                "the the import", "manhattan project"]
+    n_nonempty = 0
     for q in queries:
         monkeypatch.setattr(W, "TAAT_MAX_POSTINGS", 10**12)
-        taat = eng.search(q, mode="OR", topk=10, use_wand=True)
+        taat = eng.search(q, mode=mode, topk=10, use_wand=True)
         monkeypatch.setattr(W, "TAAT_MAX_POSTINGS", 0)
-        wand = eng.search(q, mode="OR", topk=10, use_wand=True)
-        plain = eng.search(q, mode="OR", topk=10, use_wand=False)
-        assert [d for d, _ in taat] == [d for d, _ in wand] == [d for d, _ in plain], q
-        for (_, st), (_, sw), (_, sp) in zip(taat, wand, plain):
-            assert st == sw == sp, (q, st, sw, sp)
+        pruned = eng.search(q, mode=mode, topk=10, use_wand=True)
+        plain = eng.search(q, mode=mode, topk=10, use_wand=False)
+        assert [d for d, _ in taat] == [d for d, _ in pruned] == [d for d, _ in plain], q
+        for (_, st), (_, sw), (_, sp) in zip(taat, pruned, plain):
+            assert st == sw == sp, (q, mode, st, sw, sp)
+        n_nonempty += bool(taat)
+    # the sample must actually exercise scoring (AND intersections are
+    # naturally sparser than OR unions)
+    assert n_nonempty >= (10 if mode == "OR" else 8)

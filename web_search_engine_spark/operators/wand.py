@@ -190,12 +190,17 @@ def daat_or_unpruned(cursors, weights, dl_lookup, avgdl, topk):
 
 def daat_and(cursors, weights, dl_lookup, avgdl, topk):
     """Intersection DAAT with galloping next_ge (HW2/engine/daat.py:21-59
-    shape), driven from the rarest term (O8 heuristic)."""
+    shape), driven from the rarest term (O8 heuristic).
+
+    Cursor ADVANCEMENT order is df-ascending (cheapest intersection),
+    but tied-term score summation stays in the callers' sorted-term
+    cursor order: float addition is not associative, and the TAAT /
+    WAND / relational kernels all sum per-term contributions in
+    sorted-term order — AND scores must be bit-identical to them."""
     if not cursors:
         return []
     order = sorted(range(len(cursors)), key=lambda i: cursors[i].df)
     cs = [cursors[i] for i in order]
-    ws = [weights[i] for i in order]
     top = _TopK(topk)
     d = cs[0].docid()
     while d is not None:
@@ -208,7 +213,10 @@ def daat_and(cursors, weights, dl_lookup, avgdl, topk):
                 target = nd
                 break
         else:
-            s = _score_tied(cs, range(len(cs)), target, dl_lookup, avgdl, ws)
+            # every cursor sits at target — sum in sorted-term order
+            s = _score_tied(
+                cursors, range(len(cursors)), target, dl_lookup, avgdl, weights
+            )
             if s is not None:
                 top.offer(s, target)
             d = cs[0].advance()
@@ -342,6 +350,37 @@ def taat_or(term_entries, dl_lookup, avgdl, topk, k1=BM25_K1, b=BM25_B):
     return [(int(union[i]), float(scores[i])) for i in order]
 
 
+def taat_and(term_entries, dl_lookup, avgdl, topk, k1=BM25_K1, b=BM25_B):
+    """Vectorized term-at-a-time AND: the taat_or accumulation plus a
+    per-doc matched-term counter — only docs carrying every distinct
+    query term survive (searcher.py:64-90 AND gate). Scores are
+    bit-identical to taat_or/daat_and for the surviving docs (same
+    sorted-term addition order, same float64 expression)."""
+    if not term_entries:
+        return []
+    union = np.unique(np.concatenate([ids for _, _, ids, _ in term_entries]))
+    if isinstance(dl_lookup, np.ndarray):
+        dls = dl_lookup[union]
+    elif hasattr(dl_lookup, "take_ids"):
+        dls = dl_lookup.take_ids(union)
+    else:
+        dls = np.array([float(dl_lookup[int(d)]) for d in union])
+    scores = np.zeros(len(union), dtype=np.float64)
+    nmatch = np.zeros(len(union), dtype=np.int64)
+    for idf, w, ids, tfs in term_entries:
+        pos = np.searchsorted(union, ids)
+        tf = tfs.astype(np.float64)
+        denom = tf + k1 * (1.0 - b + b * (dls[pos] / avgdl))
+        scores[pos] += w * (idf * (tf * (k1 + 1.0)) / denom)
+        nmatch[pos] += 1
+    live = (dls > 0.0) & (nmatch == len(term_entries))
+    union, scores = union[live], scores[live]
+    if not len(union):
+        return []
+    order = np.lexsort((union, -scores))[:topk]
+    return [(int(union[i]), float(scores[i])) for i in order]
+
+
 def search_blocks(
     block_rows: dict[str, list],
     term_dfs: dict[str, int],
@@ -363,12 +402,13 @@ def search_blocks(
     doc_bytes, freq_bytes)] in any order; sorted here by (shard, block_id)
     which is global docid order.
 
-    Kernel choice (use_wand=True): vectorized TAAT when the query's
-    total posting volume is small (<= TAAT_MAX_POSTINGS), cursor-driven
-    block-max WAND beyond that (pruning needs long lists to pay off).
-    use_wand=False forces the exhaustive DAAT OR (the differential
-    baseline). ``flat_cache`` (term -> decoded arrays) lets a serving
-    engine amortize block decodes across repeated queries.
+    Kernel choice (use_wand=True): vectorized TAAT (taat_or/taat_and)
+    when the query's total posting volume is small (<= TAAT_MAX_POSTINGS);
+    beyond that, cursor-driven kernels — block-max WAND for OR (pruning
+    needs long lists to pay off), galloping intersection for AND.
+    use_wand=False forces the exhaustive cursor DAAT (the differential
+    baseline; daat_and for AND). ``flat_cache`` (term -> decoded arrays)
+    lets a serving engine amortize block decodes across repeated queries.
     """
     from collections import Counter
 
@@ -383,7 +423,7 @@ def search_blocks(
         rows = sorted(block_rows[term], key=lambda r: (r[0], r[1]))
         return [(r[2], r[3], r[4], r[5], r[6]) for r in rows]
 
-    if mode.upper() == "OR" and use_wand and total_df <= TAAT_MAX_POSTINGS:
+    if use_wand and total_df <= TAAT_MAX_POSTINGS:
         entries = []
         for term in sorted_terms:
             if flat_cache is not None and term in flat_cache:
@@ -395,6 +435,8 @@ def search_blocks(
             entries.append(
                 (bm25_idf(n_docs, term_dfs[term]), float(counts[term]), ids, tfs)
             )
+        if mode.upper() == "AND":
+            return taat_and(entries, dl_lookup, avgdl, topk, k1, b)
         return taat_or(entries, dl_lookup, avgdl, topk, k1, b)
 
     cursors, weights = [], []
