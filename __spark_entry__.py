@@ -145,6 +145,77 @@ def _wand_top10_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wand_gate(spark, sf_dir, Q_AND, "AND")
 
 
+def _run_stream_gate(spark: SparkSession, which: str) -> DataFrame:
+    """Run a REAL Structured-Streaming availableNow pipeline over the
+    deterministic synthesized events and return its finalized output as
+    a local DataFrame (collected before the tmpdir is removed).
+
+    which='windows': watermarked tumbling-window counts — append mode
+    emits exactly the windows whose end precedes the final watermark
+    (max event ts - 2 h; the event-time jitter keeps that watermark
+    149-1485 s away from any hour boundary, so the emitted set is
+    boundary-unambiguous and SQL-reproducible).
+    which='sessions': applyInPandasWithState gap-sessionization — the
+    availableNow run emits every gap-CLOSED session; each user's final
+    session stays in state (the oracle drops each user's last session).
+    """
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from web_search_engine_spark.streaming.windows import (
+        sessionize_stream,
+        stream_windowed_counts,
+        synthesize_events,
+    )
+
+    saved_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = tempfile.mkdtemp(prefix=f"stream_gate_{which}_")
+    try:
+        src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+        synthesize_events(spark, 400).coalesce(2).write.parquet(src)
+        if which == "windows":
+            stream_windowed_counts(
+                spark, src, out, ckpt, window="1 hour", watermark="2 hours"
+            )
+            rows = spark.read.parquet(out).collect()
+            pdf = pd.DataFrame(
+                [
+                    (int(r["win_start"]), r["event_type"], int(r["n_events"]),
+                     float(r["sum_value"]))
+                    for r in rows
+                ],
+                columns=["win_start", "event_type", "n_events", "sum_value"],
+            )
+            return spark.createDataFrame(
+                pdf, "win_start long, event_type string, n_events long, sum_value double"
+            )
+        sessionize_stream(spark, src, out, ckpt, gap_seconds=1800)
+        got = spark.read.parquet(out).select(
+            "user_id",
+            F.unix_timestamp("session_start").alias("session_start"),
+            F.unix_timestamp("session_end").alias("session_end"),
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+        rows = got.collect()
+        pdf = pd.DataFrame(
+            [tuple(r) for r in rows],
+            columns=["user_id", "session_start", "session_end", "n_events",
+                     "sum_value"],
+        )
+        return spark.createDataFrame(
+            pdf,
+            "user_id long, session_start long, session_end long, "
+            "n_events long, sum_value double",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.conf.set("spark.sql.session.timeZone", saved_tz)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for the OR query on sf0.001."""
     return _bm25_topk(spark, DEFAULT_SF_DIR, Q_OR, "OR")
@@ -247,6 +318,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": lambda spark, sf: _mm.sample_frames(
             _mm.extract_media_features(_mm.synthesize_media(spark, 200))
         ),
+        # streaming operators under the hard gate (VERDICT r2 #6): real
+        # availableNow runs over md5-deterministic synthesized events
+        "stream_windowed_counts": lambda spark, sf: _run_stream_gate(
+            spark, "windows"
+        ),
+        "stream_sessions": lambda spark, sf: _run_stream_gate(spark, "sessions"),
     }
 
 
@@ -417,6 +494,22 @@ feats AS (
          array_to_string(list_transform(range(0, 8), j -> h[j+1] + h[j+9]), ',') AS feature_key,
          'fake' AS decoder
   FROM hb
+)
+"""
+
+# Deterministic event stream, re-derived in SQL: every field is the
+# exact md5 formula streaming.windows.synthesize_events evaluates.
+_EVENTS_CTE = """
+ev AS (
+  SELECT i::BIGINT AS event_id,
+         1767225600 + i*211
+           + (('0x' || substr(md5('ev:' || i::VARCHAR), 1, 8))::BIGINT % 97) AS ts,
+         (('0x' || substr(md5('ev:' || i::VARCHAR), 9, 8))::BIGINT % 8) AS user_id,
+         ['view','click','buy'][
+           (('0x' || substr(md5('ev:' || i::VARCHAR), 1, 8))::BIGINT % 3)::INT + 1
+         ] AS event_type,
+         (('0x' || substr(md5('ev:' || i::VARCHAR), 9, 8))::BIGINT % 1000) / 100.0 AS value
+  FROM (SELECT unnest(range(0, 400)) AS i)
 )
 """
 
@@ -632,6 +725,54 @@ FROM pershard GROUP BY term
         # BM25 ranking exactly (reference testrun.py:80-104 differential)
         "wand_top10": _bm25_sql(Q_OR, "OR"),
         "wand_top10_and": _bm25_sql(Q_AND, "AND"),
+        # append-mode emits exactly the windows finalized under the
+        # final watermark (max ts - 2 h); event-time jitter keeps that
+        # watermark off every hour boundary, so <= is unambiguous
+        "stream_windowed_counts": f"""
+WITH {_EVENTS_CTE},
+win AS (
+  SELECT (ts // 3600) * 3600 AS win_start, event_type,
+         count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+  FROM ev GROUP BY 1, 2
+)
+SELECT win_start, event_type, n_events, sum_value
+FROM win
+WHERE win_start + 3600 <= (SELECT max(ts) - 7200 FROM ev)
+""",
+        # gap-sessionization (event-time timeouts): a session is emitted
+        # when a later same-user event exceeds the gap (every non-last
+        # session) OR when the final watermark (max ts - gap) passes its
+        # event-time timeout (session_end + gap) — the last session of a
+        # long-idle user. Sessions still inside the watermark horizon
+        # stay in the state store.
+        "stream_sessions": f"""
+WITH {_EVENTS_CTE},
+lagged AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  FROM ev
+),
+flagged AS (
+  SELECT *, CASE WHEN pts IS NULL OR ts - pts > 1800 THEN 1 ELSE 0 END AS brk
+  FROM lagged
+),
+sess AS (
+  SELECT *, sum(brk) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+agg AS (
+  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+         count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+  FROM sess GROUP BY 1, 2
+)
+SELECT a.user_id, a.session_start, a.session_end, a.n_events, a.sum_value
+FROM agg a
+JOIN (SELECT user_id, max(sid) AS msid FROM agg GROUP BY 1) l
+  ON a.user_id = l.user_id
+WHERE a.sid < l.msid
+   OR a.session_end + 1800 < (SELECT max(ts) - 1800 FROM ev)
+""",
         "doc_stats": f"WITH {_CTES} SELECT doc_id, dl FROM dl",
         "corpus_stats": f"WITH {_CTES} SELECT n_docs, round(avgdl, 6) AS avgdl FROM stats",
         "doc_len_from_postings": f"WITH {_CTES} SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id",

@@ -142,6 +142,48 @@ def main() -> None:
     lat_ms.sort()
     timings["wand_query_p50"] = round(statistics.median(lat_ms) / 1000, 4)
     timings["wand_query_p95"] = round(lat_ms[int(len(lat_ms) * 0.95) - 1] / 1000, 4)
+
+    # --- hot (stopword-heavy) OR query: TAAT vs blockwise block-max ---
+    # kernel-cliff evidence at this SF; the 3M-doc run lives in
+    # scripts/bench_hot_query.py (BENCH.md)
+    hot_q = " ".join(
+        r["term"] for r in lex.orderBy(F.desc("df"), "term").limit(5).collect()
+    )
+    for kern in ("taat", "bmw_block"):
+        eng.search(hot_q, "OR", 10, force_kernel=kern)  # warm + fill flat cache
+        samples = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            eng.search(hot_q, "OR", 10, force_kernel=kern)
+            samples.append(time.perf_counter() - t0)
+        timings[f"hot_or_{kern}"] = round(statistics.median(samples), 4)
+
+    # --- cluster-scale batch path over the BLOCK table (VERDICT r2 #5):
+    # prune scan on term -> vectorized decode -> relational BM25 ---
+    from web_search_engine_spark.plans.search import batch_score
+    from web_search_engine_spark.sources.catalog import IndexCatalog
+
+    cat = IndexCatalog(spark, idx_dir)
+
+    def q_batch_blocks():
+        return batch_score(cat, BATCH_QUERIES, "OR", 10).count()
+
+    q_batch_blocks()  # warm
+    timed_median("bm25_batch8_blocks", q_batch_blocks)
+
+    # same-results guard: the block path must reproduce the relational
+    # path row-for-row (rounded scores) — a silent divergence would make
+    # the timing meaningless
+    def canon(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+            for r in df.collect()
+        )
+
+    rel = score_queries(postings, stats, n, avgdl, BATCH_QUERIES, "OR", 10, lexicon=lex)
+    blk = batch_score(cat, BATCH_QUERIES, "OR", 10)
+    if canon(rel) != canon(blk):
+        raise SystemExit("block-path results diverge from relational path")
     shutil.rmtree(idx_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)

@@ -321,10 +321,48 @@ def test_three_kernels_identical(index_dir, oracle, monkeypatch, mode):
         monkeypatch.setattr(W, "TAAT_MAX_POSTINGS", 0)
         pruned = eng.search(q, mode=mode, topk=10, use_wand=True)
         plain = eng.search(q, mode=mode, topk=10, use_wand=False)
-        assert [d for d, _ in taat] == [d for d, _ in pruned] == [d for d, _ in plain], q
-        for (_, st), (_, sw), (_, sp) in zip(taat, pruned, plain):
-            assert st == sw == sp, (q, mode, st, sw, sp)
-        n_nonempty += bool(taat)
+        results = [taat, pruned, plain]
+        if mode == "OR":
+            # the classic per-posting BMW cursor loop — the independent
+            # second implementation of the blockwise kernel's pruning
+            results.append(eng.search(q, mode=mode, topk=10,
+                                      force_kernel="bmw_cursor"))
+        first = results[0]
+        for got in results[1:]:
+            assert [d for d, _ in first] == [d for d, _ in got], q
+            for (_, sa), (_, sb) in zip(first, got):
+                assert sa == sb, (q, mode, sa, sb)
+        n_nonempty += bool(first)
     # the sample must actually exercise scoring (AND intersections are
     # naturally sparser than OR unions)
     assert n_nonempty >= (10 if mode == "OR" else 8)
+
+
+def test_fast_term_decode_matches_per_block(spark, index_dir):
+    """decode_term_postings_fast (two vectorized codec calls with
+    segmented shard rebase) must equal the per-block reference decoder
+    on multi-shard terms."""
+    import numpy as np
+
+    from web_search_engine_spark.operators.wand import (
+        decode_term_postings,
+        decode_term_postings_fast,
+    )
+
+    blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    rows_by_term = {}
+    for r in blocks.collect():
+        rows_by_term.setdefault(r["term"], []).append(
+            (r["shard"], r["block_id"], r["last_docid"], r["base_docid"],
+             r["max_tf"], bytes(r["doc_bytes"]), bytes(r["freq_bytes"]))
+        )
+    n_multi = 0
+    for term, rows in rows_by_term.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        want = decode_term_postings([(t[2], t[3], t[4], t[5], t[6]) for t in rows],
+                                    "varbyte")
+        got = decode_term_postings_fast(rows, "varbyte")
+        assert np.array_equal(want[0], got[0]), term
+        assert np.array_equal(want[1], got[1]), term
+        n_multi += len({t[0] for t in rows}) > 1
+    assert n_multi >= 5  # the corpus must exercise multi-shard chains

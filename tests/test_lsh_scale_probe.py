@@ -1,0 +1,155 @@
+"""LSH knob evidence on a 10x corpus with skewed near-dup clusters
+(VERDICT r2 #7): the (perms, bands) / (planes, tables) guidance in the
+dedup/similarity docstrings must be measured, not prose — candidate-set
+blowup stays orders of magnitude below n^2/2 while recall on the true
+near-dup pairs stays above a stated bound.
+"""
+
+import random
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from web_search_engine_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    minhash_lsh_pairs,
+)
+from web_search_engine_spark.operators.similarity import hyperplane_signs
+
+N_BACKGROUND = 4000
+CLUSTERS = [(0, 200)] + [(c, 10) for c in range(1, 50)]  # (cluster, size): skewed
+
+
+def _shingles(tokens: list[str], n: int = 3) -> set[str]:
+    return {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
+
+
+def _jaccard(a: set, b: set) -> float:
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter) if (a or b) else 0.0
+
+
+def _corpus() -> tuple[pd.DataFrame, dict[int, list[int]]]:
+    """~4.7k docs: one 200-member hot cluster + 49 ten-member clusters
+    of token-mutated variants, over a distinct-background corpus."""
+    rng = random.Random(7)
+    vocab = [f"w{j}" for j in range(8000)]
+    noise = [f"nz{j}" for j in range(2000)]
+    rows, members = [], {}
+    doc_id = 0
+    for cid, size in CLUSTERS:
+        base = rng.sample(vocab, 40)
+        ids = []
+        for _ in range(size):
+            toks = list(base)
+            for _ in range(rng.randint(2, 5)):  # mutate a few positions
+                toks[rng.randrange(len(toks))] = rng.choice(noise)
+            rows.append((doc_id, " ".join(toks)))
+            ids.append(doc_id)
+            doc_id += 1
+        members[cid] = ids
+    for _ in range(N_BACKGROUND):
+        rows.append((doc_id, " ".join(rng.sample(vocab, 40))))
+        doc_id += 1
+    return pd.DataFrame(rows, columns=["doc_id", "text"]), members
+
+
+def test_minhash_lsh_candidate_blowup_and_recall(spark):
+    pdf, members = _corpus()
+    n = len(pdf)
+    docs = spark.createDataFrame(pdf).repartition(8)
+
+    n_cand = minhash_lsh_candidates(docs).count()
+    # sub-quadratic: candidates form only inside band buckets. The
+    # planted clusters alone contribute sum C(size,2) ~= 22k pairs;
+    # anything near n^2/2 (~11M) means bucketing degenerated.
+    assert n_cand < (n * (n - 1) // 2) / 50, (n_cand, n)
+
+    got = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    # ground truth on the planted pairs only (the background is distinct
+    # by construction; any extra true pair the sweep finds is verified
+    # exactly by the operator itself)
+    sh = {r.doc_id: _shingles(r.text.split()) for r in pdf.itertuples()}
+    truth = set()
+    for ids in members.values():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                if _jaccard(sh[a], sh[b]) >= 0.5:
+                    truth.add((a, b))
+    assert len(truth) > 2000  # the clusters really are near-dups
+    recall = len(got & truth) / len(truth)
+    # 16 perms / 8 bands (2 rows per band): s-curve ~1-(1-j^2)^8; at
+    # j=0.7 that's ~0.996 — measured bound with head-room for the
+    # j~0.5 boundary pairs
+    assert recall >= 0.85, recall
+    # and every emitted pair is exactly verified >= threshold
+    for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).limit(50).collect():
+        assert r["jaccard"] >= 0.5
+
+
+def test_embedding_lsh_candidate_blowup_and_recall(spark):
+    rng = np.random.default_rng(11)
+    dims, n_clusters, per_cluster, n_rand = 16, 30, 8, 760
+    vecs = []
+    for _ in range(n_clusters):
+        base = rng.normal(size=dims)
+        base /= np.linalg.norm(base)
+        for _ in range(per_cluster):
+            v = base + rng.normal(scale=0.05, size=dims)
+            vecs.append(v / np.linalg.norm(v))
+    for _ in range(n_rand):
+        v = rng.normal(size=dims)
+        vecs.append(v / np.linalg.norm(v))
+    X = np.stack(vecs)
+    n = len(X)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(n), "embedding": [list(map(float, v)) for v in X]}
+        )
+    ).repartition(8)
+
+    # candidate stage of ann_lsh_bucketed (same join, before verify)
+    def cand_count(planes: int, tables: int) -> int:
+        signed = hyperplane_signs(emb, planes=planes, tables=tables)
+        left = signed.select("table", "bucket", F.col("vec_id").alias("a"))
+        right = signed.select("table", "bucket", F.col("vec_id").alias("b"))
+        return (
+            left.join(right, ["table", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+            .count()
+        )
+
+    # the documented knob direction, measured: more planes per table =
+    # smaller buckets = fewer candidates. The sf0.01 gate default
+    # (4 planes) admits ~40% of RANDOM pairs (1-(1-2^-4)^8) — fine at
+    # 500 vectors, quadratic poison at scale; 8 planes bounds random
+    # collisions to ~1-(1-2^-8)^8 ~ 3%.
+    cand4 = cand_count(4, 8)
+    cand8 = cand_count(8, 8)
+    all_pairs = n * (n - 1) // 2
+    assert cand8 < cand4, (cand4, cand8)
+    assert cand8 < all_pairs / 5, (cand8, n)
+
+    from web_search_engine_spark.operators.similarity import ann_lsh_bucketed
+
+    got = {
+        (r["a"], r["b"])
+        for r in ann_lsh_bucketed(emb, threshold=0.95, planes=8, tables=8).collect()
+    }
+    sims = X @ X.T
+    iu = np.triu_indices(n, k=1)
+    truth = {
+        (int(a), int(b))
+        for a, b in zip(iu[0][sims[iu] >= 0.95], iu[1][sims[iu] >= 0.95])
+    }
+    assert len(truth) > 500  # clusters planted enough true pairs
+    recall = len(got & truth) / len(truth)
+    # 8 planes x 8 tables on ~0.99-cosine cluster pairs: per-table hit
+    # (1-theta/pi)^8 ~ 0.43, union over 8 tables ~ 1 - 0.57^8 ~ 0.989
+    assert recall >= 0.9, recall

@@ -91,6 +91,29 @@ def minhash_signatures(
     ).select("doc_id", F.col("s.perm").alias("perm"), F.col("s.minhash").alias("minhash"))
 
 
+def minhash_lsh_candidates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    perms: int = MINHASH_PERMS, bands: int = LSH_BANDS, n: int = 3,
+) -> DataFrame:
+    """Candidate pairs (a, b), a < b, sharing at least one LSH band
+    bucket — the pre-verification stage of minhash_lsh_pairs, exposed so
+    scale probes can measure candidate-set blowup directly (the quantity
+    that must stay << n^2/2 at 100 TB)."""
+    rows_per_band = perms // bands
+    sigs = minhash_signatures(docs, text_col, id_col, perms, n)
+    banded = sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+    band_hash = banded.groupBy("doc_id", "band").agg(
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("bh")
+    )
+    return (
+        band_hash.alias("x")
+        .join(band_hash.alias("y"), ["band", "bh"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     perms: int = MINHASH_PERMS, bands: int = LSH_BANDS, n: int = 3,
@@ -102,19 +125,7 @@ def minhash_lsh_pairs(
     bucket become candidates; candidates are verified with the exact
     shingle Jaccard (array_intersect on the distinct shingle sets).
     """
-    rows_per_band = perms // bands
-    sigs = minhash_signatures(docs, text_col, id_col, perms, n)
-    banded = sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-    band_hash = banded.groupBy("doc_id", "band").agg(
-        F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("bh")
-    )
-    cand = (
-        band_hash.alias("x")
-        .join(band_hash.alias("y"), ["band", "bh"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
-    )
+    cand = minhash_lsh_candidates(docs, text_col, id_col, perms, bands, n)
     sh = docs.select(
         F.col(id_col).alias("doc_id"), shingles_col(text_col, n).alias("shingles")
     )

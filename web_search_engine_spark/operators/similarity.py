@@ -234,7 +234,12 @@ def ann_lsh_bucketed(
     a SUBSET of the brute-force pairs (every emitted pair passed the
     exact check); recall is tuned by (planes, tables) — fewer planes =
     bigger buckets = higher recall, more planes bounds per-bucket
-    candidate blowup at larger corpora.
+    candidate blowup at larger corpora. Measured
+    (tests/test_lsh_scale_probe.py, 1000 vecs, 30 planted clusters):
+    4 planes x 8 tables admits ~40% of random pairs as candidates
+    (gate-scale default); 8 planes x 8 tables cuts candidates ~10x
+    while keeping recall >= 0.9 on >=0.95-cosine pairs — scale planes
+    with log(n), hold recall with tables.
     """
     signed = hyperplane_signs(embeddings, planes, tables)
     left = signed.select(

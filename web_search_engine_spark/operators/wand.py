@@ -316,6 +316,45 @@ def decode_term_postings(blocks: list, codec: str) -> tuple[np.ndarray, np.ndarr
     )
 
 
+def decode_term_postings_fast(rows: list, codec: str) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-term decode in TWO vectorized codec calls (not one per
+    block): per-shard delta chains are continuous across a shard's
+    blocks and start at the absolute docid (base 0), so the
+    concatenation of one shard's payloads is a single varbyte gap
+    stream — decode everything at once, then one segmented-cumsum
+    rebase at shard boundaries.
+
+    rows: [(shard, block_id, last_docid, base_docid, max_tf, doc_bytes,
+    freq_bytes)] sorted by (shard, block_id)."""
+    if not rows:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    doc_all = b"".join(r[5] for r in rows)
+    freq_all = b"".join(r[6] for r in rows)
+    if codec != "varbyte":
+        return (
+            np.frombuffer(doc_all, dtype="<u4").astype(np.int64),
+            np.frombuffer(freq_all, dtype="<u4").astype(np.int64),
+        )
+    gaps = C.vb_decode(np.frombuffer(doc_all, dtype=np.uint8)).astype(np.int64)
+    tfs = C.vb_decode(np.frombuffer(freq_all, dtype=np.uint8)).astype(np.int64)
+    shards = np.array([r[0] for r in rows], dtype=np.int64)
+    new_seg = np.empty(len(rows), dtype=bool)
+    new_seg[0] = True
+    new_seg[1:] = shards[1:] != shards[:-1]
+    seg_block = np.flatnonzero(new_seg)
+    # postings per segment = varbyte terminator count per segment's bytes
+    byte_starts = np.concatenate(
+        ([0], np.cumsum([len(r[5]) for r in rows]))
+    )[seg_block]
+    msb = ((np.frombuffer(doc_all, dtype=np.uint8) & 0x80) > 0).astype(np.int64)
+    seg_counts = np.add.reduceat(msb, byte_starts) if len(doc_all) else []
+    csum = np.cumsum(gaps)
+    seg_starts = np.concatenate(([0], np.cumsum(seg_counts)))[:-1]
+    before = np.where(seg_starts > 0, csum[seg_starts - 1], 0)
+    docids = csum - np.repeat(before, np.asarray(seg_counts, dtype=np.int64))
+    return docids, tfs
+
+
 def taat_or(term_entries, dl_lookup, avgdl, topk, k1=BM25_K1, b=BM25_B):
     """Vectorized term-at-a-time OR scoring — the reference's TAAT
     ranker (HW2/engine/ranker.py:52-74) as numpy array passes.
@@ -348,6 +387,110 @@ def taat_or(term_entries, dl_lookup, avgdl, topk, k1=BM25_K1, b=BM25_B):
     # (score desc, doc_id asc) — lexsort: last key is primary
     order = np.lexsort((union, -scores))[:topk]
     return [(int(union[i]), float(scores[i])) for i in order]
+
+
+_EPOCH_RANGES = 2048  # block ranges scored per pruning epoch
+
+
+def blockmax_taat_or(
+    term_entries, term_blockmeta, dl_lookup, avgdl, topk, k1=BM25_K1, b=BM25_B
+):
+    """Vectorized block-max WAND: BMW's per-block skipping with TAAT's
+    numpy scoring — no per-posting Python (VERDICT r2 #4: the cursor
+    loop costs ~8 us/posting; above TAAT_MAX_POSTINGS a stopword-heavy
+    OR query where pruning doesn't bite pays seconds).
+
+    The docid axis splits at every block boundary of every term. Work
+    proceeds in EPOCHS: with the current theta, the upper bound of every
+    remaining range (sum of the covering blocks' max-score bounds —
+    computed with one searchsorted per term) selects the ranges that
+    could still beat the top-k; the first _EPOCH_RANGES survivors merge
+    into maximal docid intervals and score through the taat_or
+    accumulation (same sorted-term order, same float64 expression —
+    bit-identical scores); theta then rises and the next epoch re-prunes
+    the remainder. Hot queries where nothing prunes degrade to plain
+    TAAT plus a few searchsorted passes (no kernel cliff at the
+    threshold); score-skewed queries skip the union/score work for
+    pruned ranges block-wise (postings arrive pre-decoded by the
+    vectorized whole-term decode, which is memory-bandwidth cheap —
+    pruning here saves scoring, not decoding).
+
+    Rank-safety matches wand_or: ranges are visited in increasing docid
+    order, so a pruned candidate whose score merely EQUALS theta would
+    lose the (score desc, doc_id asc) tie to the incumbent anyway.
+
+    term_entries = [(idf, weight, ids, tfs)] in sorted-term order
+    (flat decoded postings); term_blockmeta = [(last_docids, block_ubs)]
+    aligned with term_entries (block_ubs exclude the query weight).
+    """
+    if not term_entries:
+        return []
+    boundaries = np.unique(np.concatenate([m[0] for m in term_blockmeta]))
+    R = len(boundaries)
+    top = _TopK(topk)
+    r = 0
+    while r < R:
+        rem = boundaries[r:]
+        ub = np.zeros(len(rem), dtype=np.float64)
+        for (idf, w, _ids, _tfs), (last, bubs) in zip(term_entries, term_blockmeta):
+            idx = np.searchsorted(last, rem, side="left")
+            v = idx < len(last)
+            ub[v] += w * bubs[idx[v]]
+        if top.full():
+            live = np.flatnonzero(ub > top.theta())
+        else:
+            live = np.arange(len(rem))
+        if live.size == 0:
+            break
+        sel = live[:_EPOCH_RANGES] + r
+        los = np.where(sel > 0, boundaries[sel - 1], -1)  # range = (lo, hi]
+        his = boundaries[sel]
+        # merge ranges adjacent on the boundary grid into maximal intervals
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(sel) > 1) + 1))
+        int_lo = los[starts]
+        int_hi = his[np.append(starts[1:] - 1, len(sel) - 1)]
+
+        # gather each term's postings inside the intervals, then the
+        # taat_or accumulation over the epoch's union
+        subs = []
+        for idf, w, ids, tfs in term_entries:
+            s = np.searchsorted(ids, int_lo, side="right")
+            e = np.searchsorted(ids, int_hi, side="right")
+            counts = e - s
+            total = int(counts.sum())
+            if total == 0:
+                subs.append(None)
+                continue
+            offs = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            take = np.arange(total) - np.repeat(offs, counts) + np.repeat(s, counts)
+            subs.append((ids[take], tfs[take]))
+        live_subs = [s for s in subs if s is not None]
+        if live_subs:
+            union = np.unique(np.concatenate([s[0] for s in live_subs]))
+            if hasattr(dl_lookup, "take_ids"):
+                dls = dl_lookup.take_ids(union)
+            elif isinstance(dl_lookup, np.ndarray):
+                dls = dl_lookup[union]
+            else:
+                dls = np.array([float(dl_lookup[int(d)]) for d in union])
+            scores = np.zeros(len(union), dtype=np.float64)
+            for (idf, w, _ids, _tfs), sub in zip(term_entries, subs):
+                if sub is None:
+                    continue
+                sids, stfs = sub
+                pos = np.searchsorted(union, sids)
+                tf = stfs.astype(np.float64)
+                denom = tf + k1 * (1.0 - b + b * (dls[pos] / avgdl))
+                scores[pos] += w * (idf * (tf * (k1 + 1.0)) / denom)
+            ok = dls > 0.0
+            union, scores = union[ok], scores[ok]
+            if len(union):
+                # only the epoch's own top-k can enter the global heap
+                order = np.lexsort((union, -scores))[:topk]
+                for i in order:
+                    top.offer(float(scores[i]), int(union[i]))
+        r = int(sel[-1]) + 1
+    return top.result()
 
 
 def taat_and(term_entries, dl_lookup, avgdl, topk, k1=BM25_K1, b=BM25_B):
@@ -395,6 +538,7 @@ def search_blocks(
     b: float = BM25_B,
     use_wand: bool = True,
     flat_cache: dict | None = None,
+    force_kernel: str | None = None,
 ) -> list[tuple[int, float]]:
     """Score a query given collected block rows per term.
 
@@ -404,11 +548,15 @@ def search_blocks(
 
     Kernel choice (use_wand=True): vectorized TAAT (taat_or/taat_and)
     when the query's total posting volume is small (<= TAAT_MAX_POSTINGS);
-    beyond that, cursor-driven kernels — block-max WAND for OR (pruning
-    needs long lists to pay off), galloping intersection for AND.
-    use_wand=False forces the exhaustive cursor DAAT (the differential
-    baseline; daat_and for AND). ``flat_cache`` (term -> decoded arrays)
-    lets a serving engine amortize block decodes across repeated queries.
+    beyond that, block-max pruned kernels — the vectorized blockwise
+    WAND (blockmax_taat_or) for OR, galloping cursor intersection for
+    AND. use_wand=False forces the exhaustive cursor DAAT (the
+    differential baseline; daat_and for AND). ``force_kernel``
+    ("taat" | "bmw_block" | "bmw_cursor" | "daat") overrides the
+    selection — used by differential tests; "bmw_cursor" is the classic
+    per-posting BMW loop kept as a second independent implementation.
+    ``flat_cache`` (term -> decoded arrays) lets a serving engine
+    amortize block decodes across repeated queries.
     """
     from collections import Counter
 
@@ -418,26 +566,55 @@ def search_blocks(
         return []
     sorted_terms = sorted(counts)  # fixed accumulation order (tie policy)
     total_df = sum(term_dfs[t] for t in sorted_terms)
+    is_and = mode.upper() == "AND"
+
+    def term_rows(term):
+        return sorted(block_rows[term], key=lambda r: (r[0], r[1]))
 
     def term_blocks(term):
-        rows = sorted(block_rows[term], key=lambda r: (r[0], r[1]))
-        return [(r[2], r[3], r[4], r[5], r[6]) for r in rows]
+        return [(r[2], r[3], r[4], r[5], r[6]) for r in term_rows(term)]
 
-    if use_wand and total_df <= TAAT_MAX_POSTINGS:
+    def flat_entries():
         entries = []
         for term in sorted_terms:
             if flat_cache is not None and term in flat_cache:
                 ids, tfs = flat_cache[term]
             else:
-                ids, tfs = decode_term_postings(term_blocks(term), codec)
+                ids, tfs = decode_term_postings_fast(term_rows(term), codec)
                 if flat_cache is not None:
                     flat_cache[term] = (ids, tfs)
             entries.append(
                 (bm25_idf(n_docs, term_dfs[term]), float(counts[term]), ids, tfs)
             )
-        if mode.upper() == "AND":
+        return entries
+
+    kernel = force_kernel
+    if kernel is None:
+        if not use_wand:
+            kernel = "daat"
+        elif total_df <= TAAT_MAX_POSTINGS:
+            kernel = "taat"
+        else:
+            kernel = "daat" if is_and else "bmw_block"
+
+    if kernel == "taat":
+        entries = flat_entries()
+        if is_and:
             return taat_and(entries, dl_lookup, avgdl, topk, k1, b)
         return taat_or(entries, dl_lookup, avgdl, topk, k1, b)
+
+    if kernel == "bmw_block":
+        if is_and:
+            raise ValueError("bmw_block is an OR kernel; AND uses taat/daat")
+        entries = flat_entries()
+        metas = []
+        for term in sorted_terms:
+            rows = term_rows(term)
+            last = np.array([r[2] for r in rows], dtype=np.int64)
+            mtf = np.array([r[4] for r in rows], dtype=np.float64)
+            idf = bm25_idf(n_docs, term_dfs[term])
+            metas.append((last, idf * (mtf * (k1 + 1.0)) / (mtf + k1 * (1.0 - b))))
+        return blockmax_taat_or(entries, metas, dl_lookup, avgdl, topk, k1, b)
 
     cursors, weights = [], []
     for term in sorted_terms:
@@ -445,8 +622,8 @@ def search_blocks(
             BlockCursor(term, term_dfs[term], term_blocks(term), codec, n_docs, k1, b)
         )
         weights.append(float(counts[term]))
-    if mode.upper() == "AND":
+    if is_and:
         return daat_and(cursors, weights, dl_lookup, avgdl, topk)
-    if use_wand:
+    if kernel == "bmw_cursor":
         return wand_or(cursors, weights, dl_lookup, avgdl, topk)
     return daat_or_unpruned(cursors, weights, dl_lookup, avgdl, topk)

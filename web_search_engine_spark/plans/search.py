@@ -269,6 +269,7 @@ class SearchEngine:
         k1: float = BM25_K1,
         b: float = BM25_B,
         use_wand: bool = True,
+        force_kernel: str | None = None,
     ) -> list[tuple[int, float]]:
         terms = sorted({t for t in tokenize_query(query) if t in self._df})
         if not terms:
@@ -277,7 +278,7 @@ class SearchEngine:
         out = search_blocks(
             block_rows, self._df, self.codec, self.dl, self.n_docs, self.avgdl,
             query, mode=mode, topk=topk, k1=k1, b=b, use_wand=use_wand,
-            flat_cache=self._flat_cache,
+            flat_cache=self._flat_cache, force_kernel=force_kernel,
         )
         while len(self._flat_cache) > _TERM_CACHE_SIZE:
             self._flat_cache.popitem(last=False)
@@ -307,11 +308,23 @@ def make_snippet(text: str, query: str, width: int = 160) -> str:
     if not hits:
         return text[:width]
     hits.sort()
+    # two-pointer sweep: O(hits) — window [pos_i, pos_i + width) keeps a
+    # multiset of covered terms; earliest window wins ties
     best_start, best_cover = 0, 0
+    in_window: dict[str, int] = {}
+    j = 0
     for i, (pos, _t) in enumerate(hits):
-        cover = {t for p, t in hits[i:] if p < pos + width}
-        if len(cover) > best_cover:
-            best_cover, best_start = len(cover), max(0, pos - 20)
+        while j < len(hits) and hits[j][0] < pos + width:
+            t = hits[j][1]
+            in_window[t] = in_window.get(t, 0) + 1
+            j += 1
+        if len(in_window) > best_cover:
+            best_cover, best_start = len(in_window), max(0, pos - 20)
+        t = hits[i][1]
+        if in_window[t] == 1:
+            del in_window[t]
+        else:
+            in_window[t] -= 1
     return text[best_start : best_start + width]
 
 

@@ -33,6 +33,40 @@ EVENTS_SCHEMA = (
     "value double, props string"
 )
 
+_EVENTS_BASE_EPOCH = 1767225600  # 2026-01-01 00:00:00 UTC
+
+
+def synthesize_events(spark: SparkSession, n: int = 400) -> DataFrame:
+    """Deterministic synthetic event stream (EVENTS_SCHEMA shape) whose
+    every field is an md5-derived JVM expression — reproducible bit-for-
+    bit in DuckDB SQL, so the streaming window/session operators can sit
+    under the driver's hash gate (VERDICT r2 #6; same trick as
+    multimodal.synthesize_media).
+
+    ts = base + i*211 + (h1 % 97): strictly increasing globally (211 >
+    max jitter 96), ~8 users -> per-user gaps straddle the 1800 s
+    session gap, producing multiple closed sessions per user.
+    """
+    h1 = F.conv(F.substring(F.md5(F.concat(F.lit("ev:"), F.col("id"))), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(F.concat(F.lit("ev:"), F.col("id"))), 9, 8), 16, 10).cast("long")
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(
+                F.lit(_EVENTS_BASE_EPOCH) + F.col("id") * 211 + F.pmod(h1, F.lit(97))
+            ).alias("ts"),
+            F.pmod(h2, F.lit(8)).alias("user_id"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("buy")),
+                (F.pmod(h1, F.lit(3)) + 1).cast("int"),
+            ).alias("event_type"),
+            # plain IEEE division (no round): bit-identical in DuckDB
+            (F.pmod(h2, F.lit(1000)) / 100.0).alias("value"),
+            F.lit("").alias("props"),
+        )
+    )
+
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
     """Tumbling event-time windows per event_type ->
@@ -109,7 +143,9 @@ def _session_fn(gap_seconds: int):
             )
             return
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
-        ts_us = rows["ts"].astype("int64") // 1000 * 1000  # ns -> us grid
+        # unit-robust: Arrow delivers datetime64[us] on plain streams but
+        # datetime64[ns] once a watermark is attached — normalize to us
+        ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
         vals = rows["value"].astype(float)
         if state.exists:
             start, last, n, sv = state.get
@@ -127,7 +163,14 @@ def _session_fn(gap_seconds: int):
             else:
                 last, n, sv = t, n + 1, sv + float(v)
         state.update((start, last, n, sv))
-        state.setTimeoutDuration(gap_seconds * 1000)
+        # EVENT-time timeout: the session times out when the watermark
+        # passes last + gap. Processing-time timeouts would (a) make
+        # emission wall-clock-dependent (not deterministic) and (b) pin
+        # an availableNow run in empty-batch loops until the wall timer
+        # fires — the watermark-driven timeout needs no wall clock and
+        # lets catch-up runs terminate as soon as data is drained.
+        timeout_ms = last // 1000 + gap_seconds * 1000
+        state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
         if out:
             yield pd.DataFrame(
                 out,
@@ -145,26 +188,34 @@ def sessionize_stream(
     checkpoint_dir: str,
     gap_seconds: int = 1800,
 ) -> None:
-    """Custom stateful operator: per-user sessions with an idle-gap
-    timeout, via applyInPandasWithState (explicit keyed GroupState).
+    """Custom stateful operator: per-user EVENT-time sessions with an
+    idle-gap timeout, via applyInPandasWithState (explicit keyed
+    GroupState).
 
     A session CLOSES when a later event for the same user arrives more
-    than ``gap_seconds`` after the previous one (emitted immediately)
-    or when processing-time timeout fires with no new events. The open
-    session survives restarts in the state store.
+    than ``gap_seconds`` after the previous one (emitted immediately),
+    or when the WATERMARK (max event time - gap_seconds) passes
+    last_event + gap_seconds — i.e. enough event time has provably
+    elapsed that no in-order event can extend it. Sessions whose
+    timeout lies beyond the final watermark survive restarts in the
+    state store. Event-time (not processing-time) timeouts keep the
+    output a pure function of the input events — deterministic,
+    replay-safe, and an availableNow catch-up terminates as soon as
+    data is drained instead of idling on wall-clock timers.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
     sessions = (
-        stream.select("user_id", "ts", "value")
+        stream.withWatermark("ts", f"{gap_seconds} seconds")
+        .select("user_id", "ts", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
             _session_fn(gap_seconds),
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
     q = (
