@@ -120,14 +120,16 @@ def main() -> None:
     from web_search_engine_spark.plans.build_index import build_index
     from web_search_engine_spark.plans.search import SearchEngine
 
-    src = docs.select(
-        F.concat(F.lit("r"), (F.col("doc_id") % 16).cast("string")).alias("repo"),
-        F.col("doc_id").cast("string").alias("path"),
-        F.col("text").alias("content"),
-    )
+    # key on the existing dense doc_id: the index's dense-rank id
+    # assignment becomes the identity, so the block path's results are
+    # directly comparable with the relational path's doc_ids below
+    src = docs.select(F.col("doc_id").alias("orig_id"), "text")
     idx_dir = tempfile.mkdtemp(prefix="wse_bench_idx_")
     t0 = time.perf_counter()
-    build_index(spark, src, idx_dir, codec="varbyte", num_shards=8, resume=False)
+    build_index(
+        spark, src, idx_dir, codec="varbyte", num_shards=8, resume=False,
+        key_cols=("orig_id",), text_col="text",
+    )
     timings["index_build_disk"] = round(time.perf_counter() - t0, 4)
 
     eng = SearchEngine(idx_dir)
