@@ -84,3 +84,29 @@ def test_tsv_multi_file_line_order(spark, tmp_path):
         ("tsv:a.tsv", "000000000001"): "doc a one",
         ("tsv:b.tsv", "000000000000"): "doc b zero",
     }
+
+
+def test_read_source_table_dispatch(spark, tmp_path):
+    """One resolver for the north rule's source surface: Iceberg table
+    id (clear error without the runtime), parquet dir, TSV, JSONL."""
+    import pytest
+
+    from web_search_engine_spark.sources.corpus import read_source_table
+
+    t = tmp_path / "c.tsv"
+    t.write_text("0\talpha beta\n")
+    assert read_source_table(spark, str(t)).count() == 1
+
+    pq = str(tmp_path / "pq")
+    spark.createDataFrame(
+        [("r", "p", "c", "l", "alpha")],
+        "repo string, path string, commit string, lang string, content string",
+    ).write.parquet(pq)
+    assert read_source_table(spark, pq).count() == 1
+
+    j = tmp_path / "c.jsonl"
+    j.write_text('{"text": "alpha"}\n')
+    assert read_source_table(spark, str(j)).count() == 1
+
+    with pytest.raises(RuntimeError, match="Iceberg"):
+        read_source_table(spark, "catalog.db.tbl")

@@ -32,9 +32,11 @@ def _spark(args):
 
 def cmd_build(args) -> None:
     from .plans.build_index import build_index
+    from .sources.corpus import read_source_table
 
     spark = _spark(args)
-    src = spark.read.parquet(args.source)
+    # accepts an Iceberg table identifier, parquet dir, .tsv or .jsonl
+    src = read_source_table(spark, args.source, fmt=args.format)
     t0 = time.time()
     cat = build_index(
         spark,
@@ -137,7 +139,16 @@ def main(argv: list[str] | None = None) -> None:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="build the blocked index")
-    b.add_argument("--source", required=True, help="input parquet (repo,path,commit,lang,content)")
+    b.add_argument(
+        "--source", required=True,
+        help="corpus: Iceberg table id, parquet dir, .tsv or .jsonl "
+             "(input_hint shape repo,path,commit,lang,content)",
+    )
+    b.add_argument(
+        "--format", default=None,
+        choices=["iceberg", "parquet", "tsv", "jsonl"],
+        help="override source format sniffing",
+    )
     b.add_argument("--out", required=True)
     b.add_argument("--codec", default="varbyte", choices=["varbyte", "raw"])
     b.add_argument("--block-size", type=int, default=128)

@@ -205,6 +205,52 @@ def read_jsonl_corpus(spark, path: str, text_field: str = "text",
     )
 
 
+def read_source_table(spark, ref: str, fmt: str | None = None):
+    """Primary corpus source resolver (north rule: 'over Iceberg tables
+    of source-code repositories', input_hint columns (repo, path,
+    commit, lang, content)).
+
+    ``ref`` is one of:
+      - an Iceberg table identifier (``catalog.db.table`` — no slash):
+        read via the Iceberg DataSource V2 connector when its runtime
+        is on the classpath (on a real cluster: snapshot isolation,
+        partition pruning, metadata-only planning). The sandbox ships
+        no Iceberg jars, so this branch raises a clear error here —
+        parquet below exercises the same columnar-scan plan shape
+        (both are DSv2 scans with min/max pruning + column pruning).
+      - a ``.tsv`` path/glob  -> read_tsv_corpus (reference format)
+      - a ``.jsonl`` path/glob -> read_jsonl_corpus
+      - anything else          -> parquet directory/path.
+    ``fmt`` overrides the extension sniffing ("iceberg" | "tsv" |
+    "jsonl" | "parquet").
+    """
+    kind = fmt
+    if kind is None:
+        if "/" not in ref and not ref.endswith((".parquet", ".tsv", ".jsonl")):
+            kind = "iceberg"
+        elif ref.endswith(".tsv") or ".tsv" in ref.rsplit("/", 1)[-1]:
+            kind = "tsv"
+        elif ref.endswith(".jsonl") or ".jsonl" in ref.rsplit("/", 1)[-1]:
+            kind = "jsonl"
+        else:
+            kind = "parquet"
+    if kind == "iceberg":
+        try:
+            return spark.read.format("iceberg").load(ref)
+        except Exception as ex:
+            raise RuntimeError(
+                f"cannot read Iceberg table '{ref}': the Iceberg Spark "
+                "runtime is not on the classpath (add "
+                "org.apache.iceberg:iceberg-spark-runtime and a catalog "
+                "conf); use a parquet path in environments without it"
+            ) from ex
+    if kind == "tsv":
+        return read_tsv_corpus(spark, ref)
+    if kind == "jsonl":
+        return read_jsonl_corpus(spark, ref)
+    return spark.read.parquet(ref)
+
+
 def corpus_docs(n_docs: int = 400, seed: int = 42) -> list[tuple[int, str]]:
     """(doc_id, content) with doc_id = dense rank over (repo, path) —
     the oracle-side mirror of operators.postings.assign_doc_ids."""
