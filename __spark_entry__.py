@@ -292,6 +292,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": lambda spark, sf: _sim.ann_lsh_topk(
             _emb(spark, sf), [0, 1, 2, 3], 10
         ),
+        # IVF ANN gated at nprobe = nlist (probing every inverted list
+        # IS brute force — the SQL-expressible equivalence; recall at
+        # nprobe < nlist is pytest-asserted on planted clusters)
+        "ivf_topk": lambda spark, sf: _sim.ivf_topk(
+            _emb(spark, sf), [0, 1, 2, 3], 10, nlist=8, nprobe=8
+        ),
+        # near-dup pairs folded into clusters: min-label propagation +
+        # pointer jumping, verified against a DuckDB recursive CTE
+        "near_dup_clusters": lambda spark, sf: _dedup.near_dup_clusters(
+            _emb(spark, sf), threshold=0.35
+        ),
         # text analysis
         "lang_id": lambda spark, sf: _ts.language_id(_docs(spark, sf)),
         "quality": lambda spark, sf: _ts.quality_score(_docs(spark, sf)),
@@ -674,6 +685,42 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+""",
+        # nprobe = nlist probes every IVF list == exact brute force:
+        # identical oracle to cosine_topk_batch
+        "ivf_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS cosine
+  FROM embeddings e, q WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+""",
+        # transitive closure of the >= 0.35 cosine pair graph; min
+        # reachable id per node == the engine's propagated cluster label
+        "near_dup_clusters": """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(node, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r
+)
+SELECT node AS vec_id, min(r) AS cluster_id, (node = min(r)) AS is_keeper
+FROM reach GROUP BY node
 """,
         "media_features": f"""
 WITH {_MEDIA_CTES}

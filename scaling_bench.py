@@ -2,12 +2,19 @@
 
 No real cluster exists in this sandbox, so the same index-build job runs
 at two parallelism levels (local[8] vs local[32]) on identical input, as
-BASELINE.json prescribes. Each level runs in a FRESH SparkSession
-(sequential, never concurrent); the best of ``--trials`` wall times per
-level is used (the sandbox scheduler adds multi-second noise).
+BASELINE.json prescribes.
+
+INTERLEAVED methodology (round 3): the sandbox VM's available CPU
+throughput drifts 2-3x between measurement windows minutes apart, so
+timing all local[8] trials and then all local[32] trials (round 1-2
+method) compares two different machines. Instead the driver keeps ONE
+warm child process per parallelism level (fresh JVM each, never running
+concurrently) and alternates timed trials L,H,L,H,... — both levels
+sample the same noise window. Best-of per level is reported, plus the
+per-round pairwise efficiencies (each L/H pair is seconds apart).
 
 Writes/updates BENCH.md with the throughput table. Usage:
-    python scaling_bench.py [--docs 120000] [--trials 2]
+    python scaling_bench.py [--docs 120000] [--trials 3] [--mode e2e]
 """
 
 from __future__ import annotations
@@ -23,9 +30,8 @@ import sys, tempfile, shutil, time
 from web_search_engine_spark.plans.build_index import build_index
 from web_search_engine_spark.session import get_spark
 
-cores, n_docs, num_shards, trials, mode = (
-    int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
-    sys.argv[5])
+cores, n_docs, num_shards, mode = (
+    int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
 src_dir = f"/tmp/wse_scale_src_{n_docs}"  # corpus parquet, shared across runs
 # shuffle + index output on tmpfs: a single virtio disk does not scale
 # with cores and would mask compute scaling (126G /dev/shm available)
@@ -39,21 +45,20 @@ if not os.path.exists(src_dir + "/_SUCCESS"):
     pdf = generate_corpus_pdf_fast(n_docs, seed=42)
     spark.createDataFrame(pdf).repartition(64).write.mode("overwrite").parquet(src_dir)
 src = spark.read.parquet(src_dir)
-# steady-state measurement: trial 0 warms JVM JIT + python workers (a
-# long-running cluster executor is warm); best of the remaining trials
-# is reported.
+
 if mode == "e2e":
-    # full from-scratch index build per trial (4 Spark actions)
-    for t in range(trials + 1):
+    def trial():
+        # full from-scratch index build (4 Spark actions)
         out = tempfile.mkdtemp(prefix=f"wse_scale_{cores}_", dir="/dev/shm")
         t0 = time.perf_counter()
-        build_index(spark, src, out, codec="varbyte", num_shards=num_shards, resume=False)
+        build_index(spark, src, out, codec="varbyte", num_shards=num_shards,
+                    resume=False)
         dt = time.perf_counter() - t0
-        print(f"TRIAL {t} {dt:.3f}", flush=True)
         shutil.rmtree(out, ignore_errors=True)
+        return dt
 else:
     # datapath: the dominant stage as ONE action — tokenize (pandas_udf)
-    # -> postings (two-phase hash agg) -> range shuffle -> varbyte block
+    # -> postings (two-phase hash agg) -> hash shuffle -> varbyte block
     # encode -> partitioned parquet write; source rows pre-cached (as in
     # the resident build), no driver-side metadata jobs in the window.
     from web_search_engine_spark.operators.blocks import build_block_index
@@ -62,95 +67,156 @@ else:
     docs, n, handle = assign_doc_ids_counted(src, ["repo", "path"])
     docs = docs.cache(); docs.count(); handle.unpersist()
     shard_size = max(1, -(-n_docs // num_shards))
-    for t in range(trials + 1):
+    def trial():
         out = tempfile.mkdtemp(prefix=f"wse_dp_{cores}_", dir="/dev/shm")
         t0 = time.perf_counter()
         blocks = build_block_index(
             build_postings(with_tokens(docs, "content")),
-            codec="varbyte", shard_size=shard_size)
+            codec="varbyte", shard_size=shard_size, shards_hint=num_shards)
         blocks.write.mode("overwrite").partitionBy("shard").parquet(out)
         dt = time.perf_counter() - t0
-        print(f"TRIAL {t} {dt:.3f}", flush=True)
         shutil.rmtree(out, ignore_errors=True)
-print(f"ELAPSED done")
+        return dt
+
+# protocol: parent sends RUN\\n -> run one trial, reply TRIAL <sec>;
+# QUIT\\n -> exit. First RUN after start doubles as JIT/worker warmup
+# (parent discards it).
+print("READY", flush=True)
+for line in sys.stdin:
+    cmd = line.strip()
+    if cmd == "RUN":
+        print(f"TRIAL {trial():.3f}", flush=True)
+    elif cmd == "QUIT":
+        break
 spark.stop()
 """
 
 
-def run_build(
-    cores: int, n_docs: int, num_shards: int, trials: int, mode: str = "e2e"
-) -> list[float]:
-    """All trials for one level in a FRESH subprocess (JVM reuse across
-    SparkSessions in one process was measured to distort timings)."""
-    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
-    out = subprocess.run(
-        [sys.executable, "-c", _CHILD, str(cores), str(n_docs), str(num_shards),
-         str(trials), mode],
-        capture_output=True, text=True, env=env, timeout=5400,
-    )
-    times = [
-        float(line.split()[2])
-        for line in out.stdout.splitlines()
-        if line.startswith("TRIAL")
-    ]
-    if len(times) < trials + 1:
-        raise RuntimeError(f"build failed (cores={cores}):\n{out.stderr[-2000:]}")
-    return times[1:]  # drop the warmup trial
+class _Level:
+    """One warm child process pinned at a parallelism level."""
+
+    def __init__(
+        self,
+        cores: int,
+        n_docs: int,
+        num_shards: int,
+        mode: str,
+        extra_env: dict | None = None,
+    ):
+        self.cores = cores
+        env = dict(
+            os.environ, PYTHONPATH=os.path.dirname(os.path.abspath(__file__))
+        )
+        env.update(extra_env or {})
+        self.proc = subprocess.Popen(
+            [sys.executable, "-c", _CHILD, str(cores), str(n_docs),
+             str(num_shards), mode],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True, env=env, bufsize=1,
+        )
+        self._expect("READY")
+
+    def _expect(self, tag: str) -> str:
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                err = self.proc.stderr.read()
+                raise RuntimeError(
+                    f"child local[{self.cores}] died:\n{err[-3000:]}"
+                )
+            if line.startswith(tag):
+                return line.strip()
+
+    def run_trial(self) -> float:
+        self.proc.stdin.write("RUN\n")
+        self.proc.stdin.flush()
+        return float(self._expect("TRIAL").split()[1])
+
+    def close(self) -> None:
+        try:
+            self.proc.stdin.write("QUIT\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=60)
+        except Exception:
+            self.proc.kill()
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=120_000)
-    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--mode", default="e2e", choices=["e2e", "datapath"])
     args = ap.parse_args()
 
-    results = {}
-    for cores in (args.low, args.high):
-        times = run_build(cores, args.docs, num_shards=16, trials=args.trials,
-                          mode=args.mode)
-        for t, dt in enumerate(times):
-            print(f"local[{cores}] trial {t}: {dt:.1f}s "
-                  f"({args.docs / dt:.0f} docs/s)", flush=True)
-        results[cores] = min(times)
+    low = _Level(args.low, args.docs, 16, args.mode)
+    high = _Level(args.high, args.docs, 16, args.mode)
+    try:
+        # one discarded warmup each (JIT + python workers — a long-lived
+        # cluster executor is warm)
+        print(f"warmup local[{args.low}]: {low.run_trial():.1f}s", flush=True)
+        print(f"warmup local[{args.high}]: {high.run_trial():.1f}s", flush=True)
+        lows, highs, pair_eff = [], [], []
+        ratio = args.high / args.low
+        for t in range(args.trials):
+            tl = low.run_trial()
+            th = high.run_trial()
+            lows.append(tl)
+            highs.append(th)
+            eff = (tl / th) / ratio
+            pair_eff.append(eff)
+            print(
+                f"round {t}: local[{args.low}] {tl:.1f}s | "
+                f"local[{args.high}] {th:.1f}s | pair efficiency {eff:.3f}",
+                flush=True,
+            )
+    finally:
+        low.close()
+        high.close()
 
-    tput_low = args.docs / results[args.low]
-    tput_high = args.docs / results[args.high]
-    ratio = args.high / args.low
-    eff = (tput_high / tput_low) / ratio
+    best_l, best_h = min(lows), min(highs)
+    tput_low = args.docs / best_l
+    tput_high = args.docs / best_h
+    eff_best = (tput_high / tput_low) / ratio
+    eff_median = sorted(pair_eff)[len(pair_eff) // 2]
     summary = {
         "mode": args.mode,
         "docs": args.docs,
-        f"local[{args.low}]_sec": round(results[args.low], 2),
-        f"local[{args.high}]_sec": round(results[args.high], 2),
+        f"local[{args.low}]_sec": round(best_l, 2),
+        f"local[{args.high}]_sec": round(best_h, 2),
         f"throughput_{args.low}": round(tput_low, 1),
         f"throughput_{args.high}": round(tput_high, 1),
         "core_ratio": ratio,
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": round(eff_best, 3),
+        "pairwise_efficiencies": [round(e, 3) for e in pair_eff],
+        "median_pair_efficiency": round(eff_median, 3),
     }
     print(json.dumps(summary))
     if args.mode != "e2e":
         return
 
+    pairs = ", ".join(f"{e:.3f}" for e in pair_eff)
     section = f"""
 ## Scaling evidence (N -> {ratio:.0f}N cores, same input)
 
 Full index build (tokenize pandas_udf -> postings -> varbyte blocks +
 lexicon + doc stats, 16 shards) over {args.docs:,} deterministic
-synthetic source files (seed 42). Methodology: fresh JVM per
-parallelism level; one untimed warmup build (JIT + python workers — a
-long-lived cluster executor is warm), then best of {args.trials} timed
-from-scratch builds; shuffle dirs + output on tmpfs so the single
-sandbox disk does not mask compute scaling:
+synthetic source files (seed 42). Methodology: one warm child process
+per parallelism level (fresh JVM each, never concurrent), one untimed
+warmup build each, then {args.trials} INTERLEAVED timed rounds
+(L,H,L,H,... — the sandbox VM's CPU throughput drifts 2-3x between
+windows minutes apart, so only same-window pairs are comparable);
+shuffle dirs + output on tmpfs so the single sandbox disk does not mask
+compute scaling:
 
-| parallelism | wall sec | docs/s |
+| parallelism | best wall sec | docs/s |
 |---|---|---|
-| local[{args.low}] | {results[args.low]:.1f} | {tput_low:,.0f} |
-| local[{args.high}] | {results[args.high]:.1f} | {tput_high:,.0f} |
+| local[{args.low}] | {best_l:.1f} | {tput_low:,.0f} |
+| local[{args.high}] | {best_h:.1f} | {tput_high:,.0f} |
 
-**Scaling efficiency (throughput ratio / core ratio): {eff:.3f}**
+**Scaling efficiency (throughput ratio / core ratio): {eff_best:.3f}
+best-of; per-round pairs {pairs} (median {eff_median:.3f})**
 (north-rule target >= 0.8). Reference single-node baseline: 32.4k docs/s
 tokenize+runs stage alone, 5.2k docs/s end-to-end (BASELINE.md).
 """

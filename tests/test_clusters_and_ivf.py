@@ -1,0 +1,156 @@
+"""Connected-components near-dup clustering and IVF ANN.
+
+Clusters: min-label propagation + pointer jumping must produce the
+exact transitive closure (min component id) — checked against a
+pure-python union-find on planted topologies including a long chain
+(the worst case pointer jumping exists for). IVF: probing every list
+is brute force (the driver-gate oracle); probing nprobe < nlist lists
+keeps high recall on clustered data while scanning a fraction of the
+corpus — the knob evidence, measured.
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from web_search_engine_spark.operators.dedup import (
+    connected_components,
+    near_dup_clusters,
+)
+from web_search_engine_spark.operators.similarity import (
+    _ivf_centroids,
+    _list_assign_udf,
+    cosine_topk_batch,
+    ivf_topk,
+)
+
+
+class _UnionFind:
+    def __init__(self, n):
+        self.p = list(range(n))
+
+    def find(self, x):
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def _check_components(spark, n_nodes, edges, max_iter=25):
+    uf = _UnionFind(n_nodes)
+    for a, b in edges:
+        uf.union(a, b)
+    want = {i: min(j for j in range(n_nodes) if uf.find(j) == uf.find(i))
+            for i in range(n_nodes)}
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+    edf = spark.createDataFrame(edges or [(0, 0)], "a long, b long")
+    if not edges:
+        edf = edf.limit(0)
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edf, nodes, max_iter=max_iter).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_topologies(spark):
+    # chain 0-1-2-...-19 (diameter 19: min-label alone needs 19 rounds;
+    # pointer jumping collapses it in O(log))
+    _check_components(spark, 24, [(i, i + 1) for i in range(19)])
+    # two cliques + a star + singletons
+    edges = (
+        [(a, b) for a in range(30, 35) for b in range(a + 1, 35)]
+        + [(40, x) for x in range(41, 48)]
+        + [(50, 51)]
+    )
+    _check_components(spark, 60, edges)
+    # no edges at all: every node its own cluster
+    _check_components(spark, 8, [])
+
+
+def test_connected_components_chain_converges_fast(spark):
+    # pointer jumping must beat the O(diameter) bound: a 64-chain within
+    # 8 rounds (log2(64)=6 plus slack) — with plain propagation this
+    # max_iter would leave labels unconverged and the assert would fail
+    _check_components(spark, 64, [(i, i + 1) for i in range(63)], max_iter=8)
+
+
+def test_near_dup_clusters_matches_pairs(spark, sf_dir="/root/testdata/sf0.01"):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = near_dup_clusters(emb, threshold=0.35).collect()
+    assert len(out) == emb.count()
+    # keeper = exactly one per cluster, the min id
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rows in by_cluster.items():
+        assert min(r["vec_id"] for r in rows) == cid
+        assert sum(r["is_keeper"] for r in rows) == 1
+
+
+def _clustered_embeddings(spark, dims=16, n_clusters=12, per_cluster=40):
+    rng = np.random.default_rng(5)
+    vecs = []
+    for _ in range(n_clusters):
+        base = rng.normal(size=dims)
+        base /= np.linalg.norm(base)
+        for _ in range(per_cluster):
+            v = base + rng.normal(scale=0.12, size=dims)
+            vecs.append(v / np.linalg.norm(v))
+    X = np.stack(vecs)
+    return (
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": range(len(X)),
+                    "embedding": [list(map(float, v)) for v in X],
+                }
+            )
+        ).repartition(8),
+        X,
+    )
+
+
+def test_ivf_full_probe_is_brute_force(spark):
+    emb, _ = _clustered_embeddings(spark)
+    qids = [0, 7, 81]
+    exact = cosine_topk_batch(emb, qids, 10).collect()
+    full = ivf_topk(emb, qids, 10, nlist=8, nprobe=8).collect()
+    key = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["vec_id"], round(r["cosine"], 6)) for r in rows
+    )
+    assert key(full) == key(exact)
+
+
+def test_ivf_partial_probe_recall_and_scan_fraction(spark):
+    emb, X = _clustered_embeddings(spark)
+    qids = [0, 40, 80, 120, 160]
+    nlist, nprobe = 16, 4
+    # measured scan fraction: probed lists cover ~nprobe/nlist of rows
+    cent = _ivf_centroids(emb, nlist, sample=4096, iters=10)
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).withColumn("list_id", _list_assign_udf(cent)(F.col("embedding")))
+    sizes = {r["list_id"]: r["n"] for r in e.groupBy("list_id").agg(F.count("*").alias("n")).collect()}
+    n = sum(sizes.values())
+    # every vector landed in exactly one of nlist lists
+    assert n == len(X) and len(sizes) <= nlist
+
+    approx = ivf_topk(emb, qids, 10, nlist=nlist, nprobe=nprobe).collect()
+    exact = cosine_topk_batch(emb, qids, 10).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ap = {}
+    for r in approx:
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(ap.get(q, set()) & ex[q]) / len(ex[q]) for q in ex]
+    # clustered data: a query's true neighbors live in its own coarse
+    # cell (plus boundary spill) — 4/16 lists keeps recall high while
+    # scanning ~1/4 of the corpus
+    assert sum(recalls) / len(recalls) >= 0.8, recalls

@@ -74,11 +74,31 @@ def _post(url, payload):
         return e.code, json.loads(e.read())
 
 
+def test_frontend_page(served):
+    """GET / serves the browser search page (reference:
+    HW2/frontend/index.html — query box + AND/OR modes over POST
+    /search)."""
+    with urllib.request.urlopen(served + "/", timeout=30) as resp:
+        assert resp.status == 200
+        assert "text/html" in resp.headers["Content-Type"]
+        page = resp.read().decode()
+    for needle in ("/search", 'name="mode"', "AND", "OR", "<form"):
+        assert needle in page
+    # unknown GET paths 404
+    try:
+        urllib.request.urlopen(served + "/nope", timeout=30)
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
 def test_search_endpoint(served):
     code, body = _post(served, {"query": "manhattan project", "mode": "OR", "topk": 5})
     assert code == 200
     assert body["mode"] == "OR"
     assert 1 <= len(body["results"]) <= 5
+    assert body["total"] == len(body["results"])
+    assert body["search_ms"] >= 0
     top = body["results"][0]
     assert top["rank"] == 1 and top["score"] > 0
     assert "manhattan" in top.get("snippet", "").lower() or "project" in top.get("snippet", "").lower()

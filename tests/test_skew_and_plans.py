@@ -103,3 +103,34 @@ def test_global_topk_is_take_ordered_not_global_window(spark):
         # the window (rank attach) must sit ABOVE the TakeOrdered, i.e.
         # consume its tiny output, not the full scored set
         assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan[:3000]
+
+
+def test_mmh3_replica_matches_spark_hash(spark):
+    """The salted identity partitioner relies on a Python replica of
+    Spark's murmur3 int32 hash (operators/blocks._mmh3_int32) —
+    differential over positives, negatives, and boundary values."""
+    from web_search_engine_spark.operators.blocks import _mmh3_int32
+
+    vals = list(range(0, 512)) + [-1, -2, -512, 2**31 - 1, -(2**31), 12345678]
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    got = {r["v"]: r["h"] for r in df.select("v", F.hash("v").alias("h")).collect()}
+    for v in vals:
+        assert _mmh3_int32(v) == got[v], v
+
+
+def test_salted_keys_land_on_their_target_partition(spark):
+    """repartition(n, salts[t]) must put key t's rows on EXACTLY
+    partition t — the whole point of murmur3-inverting the salts (no
+    balls-in-bins stragglers, perfect write-stage balance)."""
+    from web_search_engine_spark.operators.blocks import _identity_salts
+
+    for n_part in (8, 32, 48):
+        salts = _identity_salts(n_part)
+        assert len(set(salts)) == n_part
+        df = (
+            spark.createDataFrame([(t, salts[t]) for t in range(n_part)], "t int, pk int")
+            .repartition(n_part, "pk")
+            .withColumn("pid", F.spark_partition_id())
+        )
+        for r in df.collect():
+            assert r["pid"] == r["t"], (n_part, r)

@@ -169,7 +169,9 @@ def main(argv: list[str] | None = None) -> None:
     i.add_argument("--index", required=True)
     i.set_defaults(fn=cmd_inspect)
 
-    s = sub.add_parser("serve", help="JSON search service (POST /search)")
+    s = sub.add_parser(
+        "serve", help="search service (browser page at GET /, JSON POST /search)"
+    )
     s.add_argument("--index", required=True)
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8080)

@@ -35,6 +35,7 @@ Scale design:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -50,6 +51,76 @@ BLOCK_SCHEMA = (
     "term string, shard int, block_id int, n int, last_docid long, "
     "base_docid long, max_tf long, doc_bytes binary, freq_bytes binary"
 )
+
+# target distinct partition-keys per shuffle partition (see
+# build_block_index docstring: bounds hash-assignment stragglers);
+# env-overridable for same-window A/B benchmarking
+_KEY_OVERSUB = int(os.environ.get("WSE_KEY_OVERSUB", "64"))
+
+# how (shard, term-bucket) keys map to shuffle partitions:
+#   salted  — exact round-robin via murmur3-inverted salt values:
+#             perfect key balance AND minimal output files
+#   oversub — plain hash keys, ~_KEY_OVERSUB keys per partition
+#   plain   — plain hash keys, ~1 key per partition (round-2 shape)
+_PARTITION_MODE = os.environ.get("WSE_PARTITION_MODE", "salted")
+
+
+def _mmh3_int32(value: int, seed: int = 42) -> int:
+    """Murmur3 x86_32 of one int32 block — bit-identical to Spark's
+    `hash()` / shuffle HashPartitioning on a single int column (seed
+    42). Public algorithm (Appleby's MurmurHash3); differentially
+    tested against F.hash in tests/test_skew_and_plans.py."""
+    m = 0xFFFFFFFF
+    k = (value & m) * 0xCC9E2D51 & m
+    k = ((k << 15) | (k >> 17)) & m
+    k = (k * 0x1B873593) & m
+    h = (seed ^ k) & m
+    h = ((h << 13) | (h >> 19)) & m
+    h = (h * 5 + 0xE6546B64) & m
+    h ^= 4  # total bytes hashed
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & m
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & m
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h  # signed int32
+
+
+_SALT_CACHE: dict[int, list[int]] = {}
+
+
+def _identity_salts(n_part: int) -> list[int]:
+    """salts[t] = smallest s >= 0 with pmod(murmur3(s), n_part) == t.
+
+    Repartitioning by `salts[key_index % n_part]` therefore sends key
+    t's rows to EXACTLY partition t — a deterministic round-robin
+    key->partition assignment through Spark's stock hash partitioner
+    (no RDD partitioner API, no sampling job). Search cost is O(n_part
+    * ln n_part) driver-side int hashing, cached per process."""
+    salts = _SALT_CACHE.get(n_part)
+    if salts is None:
+        salts = [-1] * n_part
+        found, s = 0, 0
+        while found < n_part:
+            t = _mmh3_int32(s) % n_part
+            if salts[t] < 0:
+                salts[t] = s
+                found += 1
+            s += 1
+        _SALT_CACHE[n_part] = salts
+    return salts
+
+
+def identity_partition_key(shard_col, bucket_col, sub: int, n_part: int):
+    """Column expr: round-robin (shard, bucket) keys onto partitions
+    via murmur3-inverted salts — key i = shard*sub + bucket goes to
+    exactly partition i % n_part when used as the sole
+    `repartition(n_part, <this>)` column."""
+    salts = _identity_salts(n_part)
+    key_idx = F.pmod(
+        shard_col.cast("long") * sub + bucket_col.cast("long"), F.lit(n_part)
+    ).cast("int")
+    return F.element_at(F.array(*[F.lit(s) for s in salts]), key_idx + F.lit(1))
 
 _ARROW_BLOCK_SCHEMA = pa.schema(
     [
@@ -310,13 +381,27 @@ def build_block_index(
     within-partition sort (tight per-ROW-GROUP term ranges), not from
     cross-partition range order.
 
-    The term BUCKET (xxhash64(term) % sub, sub ~= partitions/shards)
-    keeps two properties at once: when shards >> cores (the 100 TB
-    regime) sub collapses to 1 and each task holds whole shards, so the
-    partitioned write emits O(1) files per shard dir (never the
-    tasks x shards small-file blowup); when shards < cores (small
-    indexes) the buckets restore full write parallelism at the cost of
-    `sub` files per shard dir.
+    The term BUCKET (xxhash64(term) % sub) keeps two properties at
+    once: when shards >> cores (the 100 TB regime) sub collapses to 1
+    and each task holds whole shards, so the partitioned write emits
+    O(1) files per shard dir (never the tasks x shards small-file
+    blowup); when shards < cores (small indexes) the buckets restore
+    full write parallelism at the cost of min(sub, n_part) files per
+    shard dir.
+
+    KEY->PARTITION ASSIGNMENT (round 3): hash repartitioning assigns
+    KEYS to partitions randomly, so with distinct (shard, bucket) keys
+    ~= the partition count the max-loaded partition carries ~3x the
+    mean (balls in bins) and the encode/write stage runs on a fraction
+    of the cores, while oversubscribing keys (many buckets) multiplies
+    output files per task. The default 'salted' mode escapes the
+    trade-off: key index i = shard * sub + bucket is round-robined to
+    target partition t = i % n_part by repartitioning on a SALT value
+    precomputed to murmur3-hash onto exactly t (_identity_salts) —
+    perfect key balance with only a few keys per partition and O(keys)
+    total output files. 'oversub' / 'plain' keep the stock hash
+    assignment (~_KEY_OVERSUB / ~1 keys per partition) for same-window
+    A/B comparison (scripts/ab_oversub.py).
     """
     spark = postings.sparkSession
     if shard_size:
@@ -326,10 +411,22 @@ def build_block_index(
     else:
         sharded = postings.withColumn("shard", F.lit(0).cast("int"))
     n_part = num_partitions or spark.sparkContext.defaultParallelism
-    sub = max(1, n_part // max(1, shards_hint)) if shards_hint else n_part
-    ordered = sharded.repartition(
-        n_part, "shard", F.pmod(F.xxhash64("term"), F.lit(sub))
-    ).sortWithinPartitions("shard", "term", "doc_id")
+    shards = max(1, shards_hint or 1)
+    if _PARTITION_MODE == "salted":
+        # a few keys per partition smooths per-bucket byte skew; exact
+        # balance comes from the round-robin, not the key count
+        sub = max(1, (4 * n_part + shards - 1) // shards)
+        pk = identity_partition_key(
+            F.col("shard"), F.pmod(F.xxhash64("term"), F.lit(sub)), sub, n_part
+        )
+        ordered = sharded.repartition(n_part, pk)
+    else:
+        oversub = _KEY_OVERSUB if _PARTITION_MODE == "oversub" else 1
+        sub = max(1, (oversub * n_part + shards - 1) // shards)
+        ordered = sharded.repartition(
+            n_part, "shard", F.pmod(F.xxhash64("term"), F.lit(sub))
+        )
+    ordered = ordered.sortWithinPartitions("shard", "term", "doc_id")
     return ordered.mapInArrow(_block_builder(block_size, codec), BLOCK_SCHEMA)
 
 

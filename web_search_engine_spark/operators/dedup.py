@@ -269,3 +269,93 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by min-label propagation with pointer
+    jumping -> (node, cluster_id = min node id in the component).
+
+    A dedup pipeline needs more than pairs: near-dup PAIRS must fold
+    into CLUSTERS so one keeper survives per group (the reference's
+    exact-dup analog is the per-digest keeper window in
+    exact_duplicates; this is its transitive-closure generalization).
+
+    edges: (a, b) undirected pair rows. nodes: one row per entity
+    (singletons come out as their own cluster).
+
+    Scale shape: each round is (1) one shuffle join propagating the
+    min label across edges, then (2) one label-table self-join
+    (pointer jumping / path compression, label <- label(label)), so
+    convergence is O(log diameter) rounds, not O(diameter) — the
+    Hash-to-Min bound (Rastogi et al., ICDE'13). Every round
+    localCheckpoints the (node, lbl) table: lineage stays O(1) and the
+    per-round shuffle is keyed on node ids (hash-balanced). Near-dup
+    graphs are overwhelmingly tiny star/clique components, so rounds
+    ~= 2-3 in practice; the iteration cap is a documented safety rail.
+    """
+    lbl = nodes.select(
+        F.col(id_col).cast("long").alias("node"),
+        F.col(id_col).cast("long").alias("lbl"),
+    )
+    sym = (
+        edges.select(F.col("a").cast("long").alias("src"), F.col("b").cast("long").alias("dst"))
+        .union(edges.select(F.col("b").cast("long").alias("src"), F.col("a").cast("long").alias("dst")))
+        .distinct()
+    )
+    sym = sym.localCheckpoint(eager=True)
+    lbl = lbl.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # min label among self + neighbors
+        neigh = (
+            sym.join(lbl, sym.dst == lbl.node)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        stepped = (
+            lbl.join(neigh, lbl.node == neigh.src, "left")
+            .select("node", F.least("lbl", F.coalesce("nmin", "lbl")).alias("lbl"))
+        )
+        # pointer jumping: lbl <- lbl(lbl)
+        parent = stepped.select(
+            F.col("node").alias("pnode"), F.col("lbl").alias("plbl")
+        )
+        jumped = (
+            stepped.join(parent, stepped.lbl == parent.pnode, "left")
+            .select("node", F.coalesce("plbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(lbl.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        lbl = jumped
+        if changed == 0:
+            break
+    return lbl.select("node", F.col("lbl").alias("cluster_id"))
+
+
+def near_dup_clusters(
+    embeddings: DataFrame, threshold: float = 0.35
+) -> DataFrame:
+    """Embedding near-dup pairs folded into clusters
+    -> (vec_id, cluster_id, is_keeper).
+
+    Built on the brute-force pair generator at gate scale so a DuckDB
+    recursive-CTE oracle can verify the transitive closure exactly; at
+    100 TB swap the pair source for similarity.ann_lsh_bucketed (same
+    (a, b) contract) — the closure step is identical.
+    """
+    pairs = embedding_near_dup_pairs(embeddings, threshold=threshold)
+    comp = connected_components(pairs, embeddings, id_col="vec_id")
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+    )

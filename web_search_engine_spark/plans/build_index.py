@@ -45,7 +45,11 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import BLOCK_SIZE, CODEC_VARBYTE
-from ..operators.blocks import build_block_index, lexicon_from_blocks
+from ..operators.blocks import (
+    build_block_index,
+    identity_partition_key,
+    lexicon_from_blocks,
+)
 from ..operators.postings import (
     assign_doc_ids_counted,
     build_postings,
@@ -298,13 +302,17 @@ def build_index(
             # 14x slower at 32 cores), while repartition("shard") alone
             # caps the write stage at num_shards tasks — fewer than the
             # cores when shards < cores (the sandbox shape; at 100 TB
-            # shards >> cores and sub collapses to 1). Sub-bucketing
-            # keeps files-per-shard = sub and parallelism = cores.
-            sub = max(
-                1, spark.sparkContext.defaultParallelism // max(1, len(pending))
-            )
+            # shards >> cores and sub collapses to 1). Keys round-robin
+            # onto partitions via murmur3-inverted salts — exact balance,
+            # no balls-in-bins stragglers, O(keys) output files (see
+            # operators/blocks.identity_partition_key).
+            par = spark.sparkContext.defaultParallelism
+            sub = max(1, (4 * par + len(pending) - 1) // max(1, len(pending)))
             docs_meta.repartition(
-                F.col("shard"), F.pmod(F.col("doc_id"), F.lit(sub))
+                par,
+                identity_partition_key(
+                    F.col("shard"), F.pmod(F.col("doc_id"), F.lit(sub)), sub, par
+                ),
             ).write.mode("overwrite").partitionBy("shard").parquet(
                 os.path.join(index_dir, "docs_meta")
             )
