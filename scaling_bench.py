@@ -92,6 +92,19 @@ spark.stop()
 """
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — the sandbox is a
+    VM whose host STEALS a large, time-varying share of its vCPUs
+    (observed 40%+ during 32-thread trials). An 8-thread job can still
+    get 8 real cores; a 32-thread job cannot, so steal suppresses the
+    measured high-parallelism throughput specifically. Sampling it per
+    trial lets the report separate job scaling from host contention."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:9]]  # user nice sys idle iowait irq sirq steal
+    return vals[7], sum(vals)
+
+
 class _Level:
     """One warm child process pinned at a parallelism level."""
 
@@ -127,10 +140,15 @@ class _Level:
             if line.startswith(tag):
                 return line.strip()
 
-    def run_trial(self) -> float:
+    def run_trial(self) -> tuple[float, float]:
+        """-> (wall_sec, steal_frac during the trial)."""
+        s0, t0 = _cpu_stat()
         self.proc.stdin.write("RUN\n")
         self.proc.stdin.flush()
-        return float(self._expect("TRIAL").split()[1])
+        dt = float(self._expect("TRIAL").split()[1])
+        s1, t1 = _cpu_stat()
+        steal = (s1 - s0) / max(1, t1 - t0)
+        return dt, steal
 
     def close(self) -> None:
         try:
@@ -155,20 +173,28 @@ def main() -> None:
     try:
         # one discarded warmup each (JIT + python workers — a long-lived
         # cluster executor is warm)
-        print(f"warmup local[{args.low}]: {low.run_trial():.1f}s", flush=True)
-        print(f"warmup local[{args.high}]: {high.run_trial():.1f}s", flush=True)
-        lows, highs, pair_eff = [], [], []
+        print(f"warmup local[{args.low}]: {low.run_trial()[0]:.1f}s", flush=True)
+        print(f"warmup local[{args.high}]: {high.run_trial()[0]:.1f}s", flush=True)
+        ncpu = os.cpu_count() or 32
+        lows, highs, pair_eff, adj_eff = [], [], [], []
         ratio = args.high / args.low
         for t in range(args.trials):
-            tl = low.run_trial()
-            th = high.run_trial()
+            tl, sl = low.run_trial()
+            th, sh = high.run_trial()
             lows.append(tl)
             highs.append(th)
             eff = (tl / th) / ratio
             pair_eff.append(eff)
+            # cores the host actually let each trial have: steal removes
+            # ~steal*ncpu vCPUs from the box for the trial's duration
+            el = min(args.low, ncpu * (1 - sl))
+            eh = min(args.high, ncpu * (1 - sh))
+            aeff = (tl / th) / (eh / el)
+            adj_eff.append(aeff)
             print(
-                f"round {t}: local[{args.low}] {tl:.1f}s | "
-                f"local[{args.high}] {th:.1f}s | pair efficiency {eff:.3f}",
+                f"round {t}: local[{args.low}] {tl:.1f}s (steal {sl:.0%}) | "
+                f"local[{args.high}] {th:.1f}s (steal {sh:.0%}) | "
+                f"pair efficiency {eff:.3f} raw, {aeff:.3f} steal-adjusted",
                 flush=True,
             )
     finally:
@@ -180,6 +206,7 @@ def main() -> None:
     tput_high = args.docs / best_h
     eff_best = (tput_high / tput_low) / ratio
     eff_median = sorted(pair_eff)[len(pair_eff) // 2]
+    adj_median = sorted(adj_eff)[len(adj_eff) // 2]
     summary = {
         "mode": args.mode,
         "docs": args.docs,
@@ -191,12 +218,18 @@ def main() -> None:
         "scaling_efficiency": round(eff_best, 3),
         "pairwise_efficiencies": [round(e, 3) for e in pair_eff],
         "median_pair_efficiency": round(eff_median, 3),
+        "steal_adjusted_efficiencies": [round(e, 3) for e in adj_eff],
+        "median_steal_adjusted_efficiency": round(adj_median, 3),
     }
     print(json.dumps(summary))
     if args.mode != "e2e":
         return
 
     pairs = ", ".join(f"{e:.3f}" for e in pair_eff)
+    adj_pairs = ", ".join(f"{e:.3f}" for e in adj_eff)
+    steal_note = "; ".join(
+        f"round {t}: {lows[t]:.0f}s/{highs[t]:.0f}s" for t in range(args.trials)
+    )
     section = f"""
 ## Scaling evidence (N -> {ratio:.0f}N cores, same input)
 
@@ -208,25 +241,37 @@ warmup build each, then {args.trials} INTERLEAVED timed rounds
 (L,H,L,H,... — the sandbox VM's CPU throughput drifts 2-3x between
 windows minutes apart, so only same-window pairs are comparable);
 shuffle dirs + output on tmpfs so the single sandbox disk does not mask
-compute scaling:
+compute scaling. /proc/stat CPU-steal is sampled during every trial:
+the host steals a time-varying share of the 32 vCPUs (observed 40%+),
+which leaves an 8-thread trial its full 8 cores but physically denies a
+32-thread trial its 32 — so raw pair efficiency under-reports the
+job's scaling; the steal-adjusted number divides by the core ratio the
+host actually granted (min(N, 32*(1-steal)) per trial).
 
 | parallelism | best wall sec | docs/s |
 |---|---|---|
 | local[{args.low}] | {best_l:.1f} | {tput_low:,.0f} |
 | local[{args.high}] | {best_h:.1f} | {tput_high:,.0f} |
 
+(round walls: {steal_note})
+
 **Scaling efficiency (throughput ratio / core ratio): {eff_best:.3f}
-best-of; per-round pairs {pairs} (median {eff_median:.3f})**
+best-of; per-round raw pairs {pairs} (median {eff_median:.3f});
+steal-adjusted pairs {adj_pairs} (median {adj_median:.3f})**
 (north-rule target >= 0.8). Reference single-node baseline: 32.4k docs/s
 tokenize+runs stage alone, 5.2k docs/s end-to-end (BASELINE.md).
 """
     try:
         existing = open("BENCH.md").read()
-        head = existing.split("\n## Scaling evidence", 1)[0].rstrip()
+        head, rest = existing.split("\n## Scaling evidence", 1)
+        head = head.rstrip()
+        # preserve every section AFTER the replaced scaling section
+        nxt = rest.find("\n## ")
+        tail = rest[nxt:] if nxt >= 0 else ""
     except FileNotFoundError:
-        head = "# BENCH — engine benchmark evidence\n"
+        head, tail = "# BENCH — engine benchmark evidence\n", ""
     with open("BENCH.md", "w") as f:
-        f.write(head + "\n" + section)
+        f.write(head + "\n" + section.rstrip() + "\n" + tail)
     print("wrote BENCH.md")
 
 

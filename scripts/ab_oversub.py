@@ -43,17 +43,18 @@ def main() -> None:
     a = _Level(args.cores, args.docs, 16, args.mode, extra_env=_env(args.a))
     b = _Level(args.cores, args.docs, 16, args.mode, extra_env=_env(args.b))
     try:
-        print(f"warmup A({args.a}): {a.run_trial():.1f}s", flush=True)
-        print(f"warmup B({args.b}): {b.run_trial():.1f}s", flush=True)
+        print(f"warmup A({args.a}): {a.run_trial()[0]:.1f}s", flush=True)
+        print(f"warmup B({args.b}): {b.run_trial()[0]:.1f}s", flush=True)
         ta, tb = [], []
         for t in range(args.trials):
-            da = a.run_trial()
-            db = b.run_trial()
+            da, sa = a.run_trial()
+            db, sb = b.run_trial()
             ta.append(da)
             tb.append(db)
             print(
-                f"round {t}: A({args.a}) {da:.1f}s | "
-                f"B({args.b}) {db:.1f}s | B/A speedup {da / db:.3f}",
+                f"round {t}: A({args.a}) {da:.1f}s (steal {sa:.0%}) | "
+                f"B({args.b}) {db:.1f}s (steal {sb:.0%}) | "
+                f"B/A speedup {da / db:.3f}",
                 flush=True,
             )
     finally:

@@ -115,7 +115,11 @@ def identity_partition_key(shard_col, bucket_col, sub: int, n_part: int):
     """Column expr: round-robin (shard, bucket) keys onto partitions
     via murmur3-inverted salts — key i = shard*sub + bucket goes to
     exactly partition i % n_part when used as the sole
-    `repartition(n_part, <this>)` column."""
+    `repartition(n_part, <this>)` column.
+
+    The salt table rides the plan as an array literal (n_part ints,
+    fine up to ~10k partitions; beyond that, ship it as a broadcast
+    join against a (key_idx, salt) relation instead)."""
     salts = _identity_salts(n_part)
     key_idx = F.pmod(
         shard_col.cast("long") * sub + bucket_col.cast("long"), F.lit(n_part)

@@ -3,22 +3,23 @@
 Replaces the reference's three CLI stages (build_runs_mp -> parallel_merge
 -> merger, SURVEY.md §3.1) with one declarative pipeline:
 
-  read source -> assign dense docids -> sha256 + tokenize -> docs_meta
-  table (doc stats + lineage + sha) -> explode -> groupBy(term,
-  doc_id).count() -> repartitionByRange(shard, term) +
-  sortWithinPartitions + mapInPandas block build -> parquet
+  read source -> assign dense docids -> tokenize ONCE -> explode ->
+  groupBy(term, doc_id).count() [persisted postings] -> salted identity
+  repartition (shard, term-bucket) + sortWithinPartitions + mapInArrow
+  block build -> parquet; docs_meta (dl + sha256 + lineage) derives dl
+  from the persisted postings (SUM(tf) per doc == the token count by
+  definition; dl=0 docs rejoin via left join)
 
 Pass discipline (this is what scales): the SOURCE ROWS are read once and
 cached (assign_doc_ids_counted persists its range-partitioned input;
-unpersisted at the end of the build); tokenization is deliberately
-recomputed per pass — it is a cheap fully-parallel map, and caching its
-array<string> output as JVM objects costs more in GC/eviction than
-tokenizing twice (measured).
+unpersisted at the end of the build) and the corpus is TOKENIZED ONCE
+per build (round 3; WSE_DL_SOURCE=tokenize restores the round-2
+two-pass shape for A/B).
 
 Job discipline: every Spark action costs seconds of fixed scheduling
 latency regardless of cluster size, so the build runs exactly FOUR jobs
-regardless of index size: (1) doc-id offsets count, (2) docs_meta write,
-(3) blocks write, (4) incremental lexicon merge. Per-shard manifest
+regardless of index size: (1) doc-id offsets count, (2) blocks write,
+(3) docs_meta write, (4) incremental lexicon merge. Per-shard manifest
 metrics ride the write jobs as Observation metrics (no post-hoc re-read
 of just-written parquet), the manifest append and stats.json are
 driver-side metadata writes (exactly how Iceberg commits manifest
@@ -60,6 +61,29 @@ from ..sources.catalog import IndexCatalog, read_stats, write_stats
 # Above this many pending shards the per-shard conditional Observation
 # aggregates get wide; fall back to one tiny post-hoc aggregation job.
 OBSERVE_MAX_SHARDS = 64
+
+# doc-length derivation for docs_meta: "postings" (default) reuses the
+# cached postings relation (dl = SUM(tf) per doc — definitionally equal
+# to the token count) so the corpus is TOKENIZED ONCE per build;
+# "tokenize" keeps the round-2 shape (second tokenize pass) for
+# same-window A/B benchmarking.
+_DL_SOURCE = os.environ.get("WSE_DL_SOURCE", "postings")
+
+
+def _action_timer():
+    """WSE_BUILD_TIMINGS=1 -> print per-action wall times (the build is
+    exactly 4 Spark actions; this attributes wall clock to each for
+    scaling diagnosis with zero overhead when off)."""
+    if os.environ.get("WSE_BUILD_TIMINGS") != "1":
+        return lambda label: None
+    state = {"t": time.perf_counter()}
+
+    def mark(label: str) -> None:
+        now = time.perf_counter()
+        print(f"BUILD_TIMING {label} {now - state['t']:.3f}", flush=True)
+        state["t"] = now
+
+    return mark
 
 _MANIFEST_COLS = [
     "shard", "n_docs", "sum_dl", "n_postings", "n_blocks",
@@ -241,7 +265,9 @@ def build_index(
 
     # Deterministic docids: dense rank over the natural key — identical
     # across resume attempts (SURVEY.md §1.3). The count is a byproduct.
+    mark = _action_timer()
     docs, n_docs, cached_src = assign_doc_ids_counted(source, list(key_cols))
+    mark("count_assign_ids")
     try:
         if prior:
             # adopt the recorded shard geometry: doc_id->shard must not
@@ -283,14 +309,69 @@ def build_index(
             # ROWS feed both passes).
             toks = with_tokens(work, text_col, method=tokenizer)
 
-            # one combined doc-level table: stats + lineage + sha invariant
-            docs_meta = toks.select(
-                "shard", "doc_id", *key_cols, *meta_cols,
-                F.size("tokens").cast("long").alias("dl"),
-                F.sha2(F.col(text_col), 256).alias("content_sha256"),
-            )
             use_observe = len(pending) <= OBSERVE_MAX_SHARDS
             docs_obs = blocks_obs = None
+
+            postings = None
+            if _DL_SOURCE == "postings":
+                # tokenize ONCE: dl comes from the postings relation
+                # (SUM(tf) per doc == the token count by definition);
+                # persist so the blocks write materializes it and the
+                # dl aggregation reuses it instead of re-tokenizing.
+                postings = build_postings(toks).persist()
+                blocks_input = postings
+            else:
+                blocks_input = build_postings(toks)
+
+            # postings -> blocks (the shuffle IS the merge); shard derives
+            # from doc_id inside build_block_index with the same shard_size.
+            blocks = build_block_index(
+                blocks_input,
+                block_size=block_size,
+                codec=codec,
+                shard_size=shard_size,
+                shards_hint=len(pending),
+            )
+            if use_observe:
+                blocks_obs = Observation("blocks_per_shard")
+                blocks = blocks.observe(
+                    blocks_obs, *_per_shard_observe_exprs(pending, "blocks")
+                )
+            # small parquet row groups for the block table: the serving
+            # directory prunes per ROW GROUP on term min/max, and with
+            # hash-bucketed files a term range spans each bucket's whole
+            # sorted run — 4 MB groups keep the false-positive read per
+            # probe bounded at a few MB instead of a 128 MB default group
+            blocks.write.mode("overwrite").option(
+                "parquet.block.size", str(4 * 1024 * 1024)
+            ).partitionBy("shard").parquet(os.path.join(index_dir, "blocks"))
+            mark("blocks_write")
+
+            # one combined doc-level table: stats + lineage + sha invariant
+            if postings is not None:
+                dl = postings.groupBy("doc_id").agg(
+                    F.sum("tf").cast("long").alias("dl")
+                )
+                docs_meta = (
+                    work.select(
+                        "shard", "doc_id", *key_cols, *meta_cols,
+                        F.sha2(F.col(text_col), 256).alias("content_sha256"),
+                    )
+                    .join(dl, "doc_id", "left")
+                    # empty docs have no postings rows but stay in
+                    # N/avgdl with dl=0 (reference P4 semantics)
+                    .withColumn("dl", F.coalesce("dl", F.lit(0).cast("long")))
+                    .select(
+                        "shard", "doc_id", *key_cols, *meta_cols,
+                        "dl", "content_sha256",
+                    )
+                )
+            else:
+                docs_meta = toks.select(
+                    "shard", "doc_id", *key_cols, *meta_cols,
+                    F.size("tokens").cast("long").alias("dl"),
+                    F.sha2(F.col(text_col), 256).alias("content_sha256"),
+                )
             if use_observe:
                 docs_obs = Observation("docs_meta_per_shard")
                 docs_meta = docs_meta.observe(
@@ -316,29 +397,9 @@ def build_index(
             ).write.mode("overwrite").partitionBy("shard").parquet(
                 os.path.join(index_dir, "docs_meta")
             )
-
-            # postings -> blocks (the shuffle IS the merge); shard derives
-            # from doc_id inside build_block_index with the same shard_size.
-            blocks = build_block_index(
-                build_postings(toks),
-                block_size=block_size,
-                codec=codec,
-                shard_size=shard_size,
-                shards_hint=len(pending),
-            )
-            if use_observe:
-                blocks_obs = Observation("blocks_per_shard")
-                blocks = blocks.observe(
-                    blocks_obs, *_per_shard_observe_exprs(pending, "blocks")
-                )
-            # small parquet row groups for the block table: the serving
-            # directory prunes per ROW GROUP on term min/max, and with
-            # hash-bucketed files a term range spans each bucket's whole
-            # sorted run — 4 MB groups keep the false-positive read per
-            # probe bounded at a few MB instead of a 128 MB default group
-            blocks.write.mode("overwrite").option(
-                "parquet.block.size", str(4 * 1024 * 1024)
-            ).partitionBy("shard").parquet(os.path.join(index_dir, "blocks"))
+            mark("docs_meta_write")
+            if postings is not None:
+                postings.unpersist()
 
             if use_observe:
                 dv, bv = docs_obs.get, blocks_obs.get
@@ -370,6 +431,7 @@ def build_index(
 
         # lexicon: fold ONLY the new shards into the existing table
         merge_lexicon(spark, index_dir, pending if prior else None)
+        mark("lexicon_merge")
 
         # corpus stats roll up from manifest rows — O(shards) driver work,
         # never a rescan of docs_meta
