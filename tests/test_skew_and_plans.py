@@ -134,3 +134,40 @@ def test_salted_keys_land_on_their_target_partition(spark):
         )
         for r in df.collect():
             assert r["pid"] == r["t"], (n_part, r)
+
+
+def test_assign_doc_ids_is_key_rank_with_no_second_exchange(spark):
+    """doc_id must equal the global dense key rank (window-free
+    formulation vs the spec), and the assignment must add NO exchange
+    beyond the one range partitioning that builds the cache — a
+    Window.partitionBy(_pid) here re-shuffled the whole corpus and AQE
+    coalesced the downstream tokenize stage to ~18/32 tasks (round-3
+    stage diagnosis)."""
+    import random
+
+    from web_search_engine_spark.operators.postings import (
+        assign_doc_ids_counted,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (f"r{rng.randrange(40)}", f"p{idx:05d}", f"body {idx}")
+        for idx in rng.sample(range(100000), 3000)
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, content string")
+    out, n, handle = assign_doc_ids_counted(df.repartition(16), ["repo", "path"])
+    try:
+        got = {(r["repo"], r["path"]): r["doc_id"] for r in out.collect()}
+        want = {
+            k: i for i, k in enumerate(sorted((r[0], r[1]) for r in rows))
+        }
+        assert n == len(rows)
+        assert got == want
+        # exactly one round-robin/range exchange below the cache; the id
+        # assignment itself must not re-shuffle (broadcast join only)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        above_cache = plan.split("InMemoryTableScan", 1)[0]
+        assert "Exchange hashpartitioning" not in above_cache, above_cache
+        assert "Window" not in above_cache, above_cache
+    finally:
+        handle.unpersist()

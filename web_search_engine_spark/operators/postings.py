@@ -121,17 +121,25 @@ def assign_doc_ids_counted(
 
     The reference assigns docids as sequential line numbers
     (HW2/engine/build_runs_mp.py:83-91); the engine's analog is a dense
-    rank over the natural key (repo, path) — stable under repartitioning,
-    unlike monotonically_increasing_id (SURVEY.md §1.3).
+    rank over the natural key (repo, path) — stable under repartitioning
+    (SURVEY.md §1.3).
 
-    Scale-aware implementation: range-partition by key, count rows per
-    partition (tiny driver-side cumsum), then a per-partition window —
-    parallel everywhere, never a single global sort partition. The
-    range-partitioned rows are persisted because separate actions
-    re-plan the DataFrame (the exchange would rerun per downstream job).
+    Scale-aware implementation: range-partition by key (partitions are
+    disjoint key ranges), count rows per partition (tiny driver-side
+    cumsum), then doc_id = partition offset + position within the
+    partition-local key sort — parallel everywhere, never a single
+    global sort partition, and crucially NO SECOND EXCHANGE: a
+    Window.partitionBy(spark_partition_id) here would re-shuffle the
+    whole corpus (Catalyst cannot know _pid is partition-local) and at
+    32 cores AQE then coalesced that exchange's reader to ~18 tasks —
+    measured as the single largest scaling loss in the build. Instead
+    the position comes from the low 33 bits of
+    monotonically_increasing_id(), which by its contract count rows
+    0,1,2,... within each partition, evaluated above a partition-local
+    sort (sortWithinPartitions; no exchange). The range-partitioned
+    rows are persisted because separate actions re-plan the DataFrame
+    (the exchange would rerun per downstream job).
     """
-    from pyspark.sql import Window
-
     n_part = df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n_part, *key_cols).withColumn(
         "_pid", F.spark_partition_id()
@@ -154,12 +162,19 @@ def assign_doc_ids_counted(
         ),
         "_pid int, _offset long",
     )
-    w = Window.partitionBy("_pid").orderBy(*key_cols)
+    # monotonically_increasing_id = (partition_id << 33) + local row
+    # position; evaluated directly above the partition-local sort, so
+    # (mid & (2^33-1)) is the rank within the partition's key range.
+    # The expression is nondeterministic, which pins its placement in
+    # the plan (Catalyst will not reorder it below the sort); the
+    # equality with the window formulation is differentially tested.
+    local_pos = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
     out = (
-        ranged.withColumn("_rn", F.row_number().over(w))
+        ranged.sortWithinPartitions(*key_cols)
+        .withColumn("_lpos", local_pos)
         .join(F.broadcast(off_df), "_pid")
-        .withColumn("doc_id", (F.col("_offset") + F.col("_rn") - 1).cast("long"))
-        .drop("_pid", "_rn", "_offset")
+        .withColumn("doc_id", (F.col("_offset") + F.col("_lpos")).cast("long"))
+        .drop("_pid", "_lpos", "_offset")
     )
     return out, acc, ranged
 
