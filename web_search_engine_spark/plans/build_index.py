@@ -12,9 +12,10 @@ Replaces the reference's three CLI stages (build_runs_mp -> parallel_merge
 
 Pass discipline (this is what scales): the SOURCE ROWS are read once and
 cached (assign_doc_ids_counted persists its range-partitioned input;
-unpersisted at the end of the build) and the corpus is TOKENIZED ONCE
-per build (round 3; WSE_DL_SOURCE=tokenize restores the round-2
-two-pass shape for A/B).
+unpersisted at the end of the build) and large corpora are TOKENIZED
+ONCE per build (round 3; auto-selected above _DL_AUTO_MIN_DOCS, where
+the saved tokenize pass outweighs the dl-join's fixed cost;
+WSE_DL_SOURCE forces either shape).
 
 Job discipline: every Spark action costs seconds of fixed scheduling
 latency regardless of cluster size, so the build runs exactly FOUR jobs
@@ -62,12 +63,15 @@ from ..sources.catalog import IndexCatalog, read_stats, write_stats
 # aggregates get wide; fall back to one tiny post-hoc aggregation job.
 OBSERVE_MAX_SHARDS = 64
 
-# doc-length derivation for docs_meta: "postings" (default) reuses the
-# cached postings relation (dl = SUM(tf) per doc — definitionally equal
-# to the token count) so the corpus is TOKENIZED ONCE per build;
-# "tokenize" keeps the round-2 shape (second tokenize pass) for
-# same-window A/B benchmarking.
-_DL_SOURCE = os.environ.get("WSE_DL_SOURCE", "postings")
+# doc-length derivation for docs_meta: "postings" reuses the cached
+# postings relation (dl = SUM(tf) per doc — definitionally equal to the
+# token count) so the corpus is TOKENIZED ONCE per build; "tokenize"
+# keeps the round-2 shape (second tokenize pass). Default "auto" picks
+# by corpus size: the postings path adds a fixed ~1 s of join/shuffle
+# machinery that only pays for itself once the saved tokenize pass
+# costs more (same-window A/B: -1.2 s at 5k docs, -40 s at 3M docs).
+_DL_SOURCE = os.environ.get("WSE_DL_SOURCE", "auto")
+_DL_AUTO_MIN_DOCS = 200_000
 
 
 def _action_timer():
@@ -312,8 +316,13 @@ def build_index(
             use_observe = len(pending) <= OBSERVE_MAX_SHARDS
             docs_obs = blocks_obs = None
 
+            dl_source = _DL_SOURCE
+            if dl_source == "auto":
+                dl_source = (
+                    "postings" if n_docs >= _DL_AUTO_MIN_DOCS else "tokenize"
+                )
             postings = None
-            if _DL_SOURCE == "postings":
+            if dl_source == "postings":
                 # tokenize ONCE: dl comes from the postings relation
                 # (SUM(tf) per doc == the token count by definition);
                 # persist so the blocks write materializes it and the
