@@ -298,6 +298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": lambda spark, sf: _sim.ivf_topk(
             _emb(spark, sf), [0, 1, 2, 3], 10, nlist=8, nprobe=8
         ),
+        # the MATERIALIZED IVF index (build_ivf -> list_id-partitioned
+        # files -> path-pruned probe scan), same brute-force equivalence
+        "ivf_probe_topk": _ivf_probe_gate,
         # near-dup pairs folded into clusters: min-label propagation +
         # pointer jumping, verified against a DuckDB recursive CTE
         "near_dup_clusters": lambda spark, sf: _dedup.near_dup_clusters(
@@ -340,6 +343,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _ivf_probe_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized IVF serving path under the hard gate: build_ivf
+    persists (vec_id, embedding) partitioned by list_id + the centroid
+    table; ivf_probe_topk reads ONLY the probed lists' directories. At
+    nprobe = nlist every list is probed == exact brute force (same
+    oracle as ivf_topk); file-level pruning at nprobe < nlist is
+    pytest-asserted via inputFiles()."""
+    import shutil
+    import tempfile
+
+    from web_search_engine_spark.operators.similarity import (
+        build_ivf,
+        ivf_probe_topk,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ivf_gate_")
+    try:
+        build_ivf(_emb(spark, sf_dir), tmp, nlist=8)
+        pdf = ivf_probe_topk(spark, tmp, [0, 1, 2, 3], 10, nprobe=8).toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # re-create from pandas: the index files backing the lazy plan are
+    # gone once the temp dir is removed
+    return spark.createDataFrame(
+        pdf, "query_id long, rank int, vec_id long, cosine double"
+    )
 
 
 # ---------------------------------------------------------------- oracle SQL
@@ -689,6 +720,23 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
         # nprobe = nlist probes every IVF list == exact brute force:
         # identical oracle to cosine_topk_batch
         "ivf_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS cosine
+  FROM embeddings e, q WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+""",
+        # materialized IVF at nprobe = nlist == the same brute force
+        "ivf_probe_topk": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
 ),

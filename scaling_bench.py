@@ -37,7 +37,17 @@ src_dir = f"/tmp/wse_scale_src_{n_docs}"  # corpus parquet, shared across runs
 # with cores and would mask compute scaling (126G /dev/shm available)
 spark = get_spark(
     f"scale-{cores}", master=f"local[{cores}]", shuffle_partitions=cores,
-    extra_conf={"spark.local.dir": "/dev/shm/wse_shuffle"},
+    extra_conf={
+        "spark.local.dir": "/dev/shm/wse_shuffle",
+        # the 431MB/64-file corpus packs into ~5 splits at the 128MB
+        # default, capping every pre-shuffle scan stage (range-partition
+        # sampling, the offsets count, the exchange write) at ~5 tasks —
+        # measured as a ~50s parallelism-1..5 phase at the head of every
+        # local[16] trial (round 4). Identical conf at BOTH levels; on a
+        # real cluster the input would be sized to the executor count.
+        "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+        "spark.sql.files.openCostInBytes": str(1 * 1024 * 1024),
+    },
 )
 import os
 if not os.path.exists(src_dir + "/_SUCCESS"):

@@ -91,6 +91,23 @@ def main() -> None:
             raise SystemExit(f"kernel {kern} diverged")
     del out["_docs"]
 
+    # hot AND (VERDICT r3 #1): hot terms co-occur in most docs, so the
+    # intersection is corpus-sized — the class where the old per-posting
+    # daat_and galloping loop paid ~8 us/visited posting. vec_and
+    # (searchsorted intersection + taat scoring) must stay near taat_and;
+    # daat is the cursor baseline (1 trial — it is the slow path).
+    for kern, trials in (("taat", 5), ("vec_and", 5), ("daat", 1)):
+        eng.search(hot_q, "AND", 10, force_kernel=kern)
+        samples = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            r = eng.search(hot_q, "AND", 10, force_kernel=kern)
+            samples.append(time.perf_counter() - t0)
+        out[f"hot_and_{kern}_ms"] = round(statistics.median(samples) * 1000, 1)
+        if [d for d, _ in r] != out.setdefault("_and_docs", [d for d, _ in r]):
+            raise SystemExit(f"AND kernel {kern} diverged")
+    del out["_and_docs"]
+
     lat = []
     for q in MIXED_QUERIES:
         eng.search(q, "OR", 10)

@@ -294,6 +294,59 @@ def test_manifest_metrics_match_tables(spark, tmp_path):
     assert abs(st["avgdl"] - total_dl / st["n_docs"]) < 1e-9
 
 
+def test_dl_from_postings_matches_tokenize(spark, tmp_path, monkeypatch):
+    """ADVICE r3: the dl-from-postings docs_meta derivation (the path
+    every >=200k-doc production build takes) was only exercised by
+    benchmarks. Force it on a small build and assert docs_meta —
+    including zero-token docs, which have NO postings rows and must
+    come back dl=0 via the left join coalesce — is row-identical to
+    the tokenize-path build."""
+    import web_search_engine_spark.plans.build_index as B
+    from web_search_engine_spark.sources.catalog import read_stats
+
+    src = corpus_df(spark, n_docs=150, seed=42)  # kind==7 rows: dl=0
+    d_tok = str(tmp_path / "tok")
+    d_post = str(tmp_path / "post")
+    monkeypatch.setattr(B, "_DL_SOURCE", "tokenize")
+    B.build_index(spark, src, d_tok, num_shards=3)
+    monkeypatch.setattr(B, "_DL_SOURCE", "postings")
+    B.build_index(spark, src, d_post, num_shards=3)
+
+    cols = ["shard", "doc_id", "repo", "path", "dl", "content_sha256"]
+    a = sorted(
+        tuple(r) for r in spark.read.parquet(f"{d_tok}/docs_meta").select(*cols).collect()
+    )
+    b = sorted(
+        tuple(r) for r in spark.read.parquet(f"{d_post}/docs_meta").select(*cols).collect()
+    )
+    assert a == b
+    assert any(t[4] == 0 for t in a)  # the zero-token docs are present
+    sa, sb = read_stats(d_tok), read_stats(d_post)
+    assert sa["n_docs"] == sb["n_docs"] and sa["avgdl"] == sb["avgdl"]
+
+
+def test_doc_id_runtime_invariant_gate(spark, monkeypatch):
+    """WSE_VERIFY_DOC_IDS=1 adds the partition-local-position contiguity
+    check (ADVICE r3: the id layout rests on Spark internals a version
+    bump could change) — it must pass on the installed Spark and still
+    produce the same dense ids."""
+    from web_search_engine_spark.operators.postings import assign_doc_ids_counted
+    from web_search_engine_spark.sources.corpus import corpus_df as cdf
+
+    monkeypatch.setenv("WSE_VERIFY_DOC_IDS", "1")
+    src = cdf(spark, n_docs=97, seed=7).repartition(13)
+    out, n, handle = assign_doc_ids_counted(src, ["repo", "path"])
+    try:
+        rows = out.select("doc_id", "repo", "path").collect()
+    finally:
+        handle.unpersist()
+    assert n == 97
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == list(range(97))  # dense 0..n-1
+    by_key = sorted(rows, key=lambda r: (r["repo"], r["path"]))
+    assert [r["doc_id"] for r in by_key] == list(range(97))  # rank order
+
+
 @pytest.mark.parametrize("mode", ["OR", "AND"])
 def test_three_kernels_identical(index_dir, oracle, monkeypatch, mode):
     """TAAT (vectorized), the pruned cursor kernel (block-max WAND for
@@ -336,6 +389,12 @@ def test_three_kernels_identical(index_dir, oracle, monkeypatch, mode):
     # the sample must actually exercise scoring (AND intersections are
     # naturally sparser than OR unions)
     assert n_nonempty >= (10 if mode == "OR" else 8)
+    if mode == "AND":
+        # forcing an OR-only kernel on AND must fail loudly, not quietly
+        # validate a different kernel (ADVICE r3)
+        for bad in ("bmw_cursor", "bmw_block"):
+            with pytest.raises(ValueError):
+                eng.search("the import", mode=mode, topk=10, force_kernel=bad)
 
 
 def test_fast_term_decode_matches_per_block(spark, index_dir):

@@ -20,7 +20,10 @@ from web_search_engine_spark.operators.dedup import (
 from web_search_engine_spark.operators.similarity import (
     _ivf_centroids,
     _list_assign_udf,
+    _probe_scan,
+    build_ivf,
     cosine_topk_batch,
+    ivf_probe_topk,
     ivf_topk,
 )
 
@@ -154,3 +157,54 @@ def test_ivf_partial_probe_recall_and_scan_fraction(spark):
     # cell (plus boundary spill) — 4/16 lists keeps recall high while
     # scanning ~1/4 of the corpus
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_materialized_ivf_prunes_files_and_matches(spark, tmp_path):
+    """VERDICT r3 #5: build_ivf persists the list assignment partitioned
+    by list_id; the probe path must (a) return results identical to the
+    per-call ivf_topk (same deterministic quantizer), (b) physically
+    touch only ~nprobe/nlist of the data files, (c) at nprobe=nlist
+    equal exact brute force."""
+    import os
+
+    emb, _ = _clustered_embeddings(spark)
+    qids = [0, 40, 80, 120, 160]
+    nlist, nprobe = 8, 2
+    ivf_dir = str(tmp_path / "ivf")
+    build_ivf(emb, ivf_dir, nlist=nlist)
+
+    key = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["vec_id"], round(r["cosine"], 6)) for r in rows
+    )
+    served = ivf_probe_topk(spark, ivf_dir, qids, 10, nprobe=nprobe).collect()
+    percall = ivf_topk(emb, qids, 10, nlist=nlist, nprobe=nprobe).collect()
+    assert key(served) == key(percall)
+
+    full = ivf_probe_topk(spark, ivf_dir, qids, 10, nprobe=nlist).collect()
+    exact = cosine_topk_batch(emb, qids, 10).collect()
+    assert key(full) == key(exact)
+
+    # file-level pruning: a 2-list probe scan's input files are exactly
+    # those lists' directories — a fraction of the index's data files
+    data_dir = os.path.join(ivf_dir, "data")
+    all_files = [
+        os.path.join(dp, f)
+        for dp, _dn, fns in os.walk(data_dir)
+        for f in fns
+        if f.endswith(".parquet")
+    ]
+    lists_present = {
+        d for d in os.listdir(data_dir) if d.startswith("list_id=")
+    }
+    assert len(lists_present) == nlist  # clustered data fills every list
+    probed = _probe_scan(spark, ivf_dir, [0, 3])
+    got_files = set(probed.inputFiles())
+    for f in got_files:
+        assert "/list_id=0/" in f or "/list_id=3/" in f, f
+    assert 0 < len(got_files) < len(all_files) / 2
+    # the pruned scan's rows == the full table filtered to those lists
+    assert probed.count() == (
+        spark.read.parquet(data_dir)
+        .filter(F.col("list_id").isin([0, 3]))
+        .count()
+    )

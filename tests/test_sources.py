@@ -86,6 +86,49 @@ def test_tsv_multi_file_line_order(spark, tmp_path):
     }
 
 
+def test_single_big_file_split_parallel(spark, tmp_path):
+    """VERDICT r3 #2: the reference's production input is ONE big
+    collection.tsv — line numbering must parallelize across its splits,
+    not funnel every line through a single per-file window task. Force
+    many splits with a tiny maxPartitionBytes and assert (a) exact line
+    parity, (b) the scan really produced multiple splits, (c) no Window
+    node (the old one-task shuffle) in the plan."""
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "collection.tsv"
+    lines = [f"{i}\tdoc number {i} body {'x' * (i % 37)}" for i in range(500)]
+    lines[123] = ""  # blank line: consumes a line number, yields no doc
+    p.write_text("\n".join(lines) + "\n")
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "512")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        n_splits = (
+            spark.read.text(str(p))
+            .select(F.col("_metadata.file_block_start").alias("b"))
+            .distinct()
+            .count()
+        )
+        assert n_splits > 10, n_splits  # the file genuinely split
+
+        src = read_tsv_corpus(spark, str(p))
+        plan = src._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan[:2000]
+        got = {r["path"]: r["content"] for r in src.collect()}
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+
+    want = {
+        f"{i:012d}": line.split("\t")[-1]
+        for i, line in enumerate(lines)
+        if line.strip()
+    }
+    assert got == want
+
+
 def test_read_source_table_dispatch(spark, tmp_path):
     """One resolver for the north rule's source surface: Iceberg table
     id (clear error without the runtime), parquet dir, TSV, JSONL."""
@@ -110,3 +153,16 @@ def test_read_source_table_dispatch(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="Iceberg"):
         read_source_table(spark, "catalog.db.tbl")
+
+
+def test_read_source_table_bare_relative_dir(spark, tmp_path, monkeypatch):
+    """A slash-free ref that exists on disk is a relative parquet path,
+    not an Iceberg table id (ADVICE r3)."""
+    from web_search_engine_spark.sources.corpus import read_source_table
+
+    spark.createDataFrame(
+        [("r", "p", "c", "l", "alpha")],
+        "repo string, path string, commit string, lang string, content string",
+    ).write.parquet(str(tmp_path / "corpus"))
+    monkeypatch.chdir(tmp_path)
+    assert read_source_table(spark, "corpus").count() == 1

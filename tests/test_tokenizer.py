@@ -52,6 +52,29 @@ def test_sql_tokenizer_matches_on_entity_free_text(spark):
         assert got[i] == oracle_tokenize(s), s
 
 
+def test_ftfy_parity():
+    """P1 closure: when ftfy is installed, the engine's tokenizer must
+    match the reference's ftfy.fix_text + unescape + regex pipeline on
+    mojibake (HW2/engine/parser.py:54,76). Skipped where ftfy is absent
+    (this sandbox — README 'Known divergences' records the residual)."""
+    import html
+    import re
+
+    import pytest
+
+    ftfy = pytest.importorskip("ftfy")
+    from web_search_engine_spark.config import TOKEN_RE
+
+    mojibake = [
+        "the cafÃ© crowd",  # UTF-8 read as latin-1: ftfy -> café
+        "donâ€™t panic",  # curly apostrophe mojibake
+        "plain ascii stays put",
+    ]
+    for s in mojibake:
+        want = re.findall(TOKEN_RE, html.unescape(ftfy.fix_text(s)).lower())
+        assert tokenize_text(s) == want, s
+
+
 def test_query_tokenizer_is_whitespace_split():
     # The asymmetry is reference behavior: "u.s." stays "u.s." in the
     # query but the corpus indexes "u.s" — mismatch returns nothing.

@@ -38,12 +38,23 @@ from ..config import TOKEN_RE
 
 _TOKEN_PATTERN = re.compile(TOKEN_RE)
 
+try:  # P1 parity: the reference runs ftfy.fix_text before tokenizing
+    # (HW2/engine/parser.py:54,76). ftfy is not installable in this
+    # sandbox (README 'Known divergences'); where it IS present the
+    # engine uses it automatically and the pipelines match on mojibake
+    # too (tests/test_tokenizer.py::test_ftfy_parity, skipped without it).
+    from ftfy import fix_text as _fix_text
+except ImportError:  # pragma: no cover - environment-dependent
+    _fix_text = None
+
 
 def tokenize_text(text: str | None, unescape_html: bool = True) -> list[str]:
     """Pure-Python single-string tokenizer (oracle + driver-side use)."""
     if text is None:
         return []
     if unescape_html:
+        if _fix_text is not None:
+            text = _fix_text(text)
         text = html.unescape(text)
     return _TOKEN_PATTERN.findall(text.lower())
 
@@ -52,10 +63,18 @@ def tokenize_text(text: str | None, unescape_html: bool = True) -> list[str]:
 def tokenize_udf(texts: pd.Series) -> pd.Series:
     """Vectorized corpus tokenizer (Arrow batches).
 
-    pandas' ``str`` ops run the regex in C; html.unescape is the only
-    per-row Python and short-circuits when no '&' is present.
+    pandas' ``str`` ops run the regex in C; ftfy (when installed) and
+    html.unescape are the only per-row Python — unescape short-circuits
+    when no '&' is present.
     """
-    cleaned = texts.fillna("").map(lambda t: html.unescape(t) if "&" in t else t)
+    if _fix_text is not None:
+        cleaned = texts.fillna("").map(
+            lambda t: html.unescape(_fix_text(t)) if t else t
+        )
+    else:
+        cleaned = texts.fillna("").map(
+            lambda t: html.unescape(t) if "&" in t else t
+        )
     return cleaned.str.lower().str.findall(TOKEN_RE)
 
 

@@ -20,6 +20,8 @@ Scale notes (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -169,6 +171,30 @@ def assign_doc_ids_counted(
     # the plan (Catalyst will not reorder it below the sort); the
     # equality with the window formulation is differentially tested.
     local_pos = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    if os.environ.get("WSE_VERIFY_DOC_IDS", "0") == "1":
+        # runtime invariant check (ADVICE r3): the id layout rests on two
+        # Spark internals — the (pid << 33) + row layout of
+        # monotonically_increasing_id, and Catalyst never pushing the
+        # nondeterministic projection below sortWithinPartitions. A
+        # Spark upgrade could silently scramble ids; this guard (one
+        # extra aggregation job, so env-gated) proves each partition's
+        # local positions are exactly 0..count-1: mid is strictly
+        # increasing within a partition, so max == count-1 over count
+        # distinct non-negative values forces the full contiguous range.
+        bad = (
+            ranged.sortWithinPartitions(*key_cols)
+            .withColumn("_lpos", local_pos)
+            .groupBy("_pid")
+            .agg(F.max("_lpos").alias("mx"), F.count("*").alias("n"))
+            .filter(F.col("mx") + 1 != F.col("n"))
+            .count()
+        )
+        if bad:
+            raise RuntimeError(
+                "doc_id assignment invariant violated: partition-local "
+                "positions are not contiguous 0..n-1 on this Spark "
+                "version (monotonically_increasing_id layout changed?)"
+            )
     out = (
         ranged.sortWithinPartitions(*key_cols)
         .withColumn("_lpos", local_pos)

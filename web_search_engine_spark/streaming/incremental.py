@@ -50,7 +50,7 @@ import os
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.blocks import build_block_index
+from ..operators.blocks import build_block_index, identity_partition_key
 from ..operators.postings import assign_doc_ids_counted, build_postings, with_tokens
 from ..plans.build_index import _read_manifest_rows, merge_lexicon
 from ..sources.catalog import read_stats, write_stats
@@ -188,9 +188,20 @@ def append_batch(
         docs_meta = docs_meta.observe(
             obs, F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl")
         )
-        docs_meta.repartition("shard").write.mode("overwrite").partitionBy(
-            "shard"
-        ).parquet(os.path.join(index_dir, "docs_meta"))
+        # salted identity partitioning, same as the batch build's
+        # docs_meta write (plans/build_index.py): repartition("shard")
+        # alone caps the write stage at num_shards tasks — measured 14x
+        # slower at 32 cores when shards < cores (VERDICT r3 #4)
+        par = spark.sparkContext.defaultParallelism
+        sub = max(1, (4 * par + len(new_shards) - 1) // max(1, len(new_shards)))
+        docs_meta.repartition(
+            par,
+            identity_partition_key(
+                F.col("shard"), F.pmod(F.col("doc_id"), F.lit(sub)), sub, par
+            ),
+        ).write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(index_dir, "docs_meta")
+        )
         sum_dl = int(obs.get["sum_dl"])
 
         blocks = build_block_index(
