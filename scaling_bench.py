@@ -35,9 +35,24 @@ cores, n_docs, num_shards, mode = (
 src_dir = f"/tmp/wse_scale_src_{n_docs}"  # corpus parquet, shared across runs
 # shuffle + index output on tmpfs: a single virtio disk does not scale
 # with cores and would mask compute scaling (126G /dev/shm available)
+import os
+_extra = {}
+if os.environ.get("WSE_EVENTLOG_DIR"):
+    # per-level event logs for stage/task forensics (idle vs CPU
+    # inflation); parse with scripts/parse_evlog.py
+    os.makedirs(os.environ["WSE_EVENTLOG_DIR"], exist_ok=True)
+    _extra = {
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.dir": os.environ["WSE_EVENTLOG_DIR"],
+    }
+if os.environ.get("WSE_AQE") == "0":
+    # A/B knob: AQE's per-exchange materialization barriers serialize
+    # query stages; measure what they cost the build at high parallelism
+    _extra["spark.sql.adaptive.enabled"] = "false"
 spark = get_spark(
     f"scale-{cores}", master=f"local[{cores}]", shuffle_partitions=cores,
     extra_conf={
+        **_extra,
         "spark.local.dir": "/dev/shm/wse_shuffle",
         # the 431MB/64-file corpus packs into ~5 splits at the 128MB
         # default, capping every pre-shuffle scan stage (range-partition
@@ -139,7 +154,8 @@ class _Level:
         )
         self._expect("READY")
 
-    def _expect(self, tag: str) -> str:
+    def _expect(self, tag: str) -> tuple[str, list[str]]:
+        extras = []
         while True:
             line = self.proc.stdout.readline()
             if not line:
@@ -147,18 +163,27 @@ class _Level:
                 raise RuntimeError(
                     f"child local[{self.cores}] died:\n{err[-3000:]}"
                 )
+            if line.startswith("BUILD_TIMING"):
+                extras.append(line.strip())
+                continue
             if line.startswith(tag):
-                return line.strip()
+                return line.strip(), extras
 
-    def run_trial(self) -> tuple[float, float]:
-        """-> (wall_sec, steal_frac during the trial)."""
+    def run_trial(self) -> tuple[float, float, dict[str, float]]:
+        """-> (wall_sec, steal_frac, per-action walls when
+        WSE_BUILD_TIMINGS=1 in the child env, else {})."""
         s0, t0 = _cpu_stat()
         self.proc.stdin.write("RUN\n")
         self.proc.stdin.flush()
-        dt = float(self._expect("TRIAL").split()[1])
+        line, extras = self._expect("TRIAL")
+        dt = float(line.split()[1])
         s1, t1 = _cpu_stat()
         steal = (s1 - s0) / max(1, t1 - t0)
-        return dt, steal
+        stages = {}
+        for e in extras:  # "BUILD_TIMING <label> <sec>"
+            _tag, label, sec = e.split()
+            stages[label] = stages.get(label, 0.0) + float(sec)
+        return dt, steal, stages
 
     def close(self) -> None:
         try:
@@ -176,10 +201,17 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--mode", default="e2e", choices=["e2e", "datapath"])
+    ap.add_argument(
+        "--stage-timings", action="store_true",
+        help="WSE_BUILD_TIMINGS=1 in the children: per-action walls "
+        "(count/blocks/docs_meta/lexicon) reported per pair, so a miss "
+        "decomposes to the stage that does not scale",
+    )
     args = ap.parse_args()
 
-    low = _Level(args.low, args.docs, 16, args.mode)
-    high = _Level(args.high, args.docs, 16, args.mode)
+    env = {"WSE_BUILD_TIMINGS": "1"} if args.stage_timings else None
+    low = _Level(args.low, args.docs, 16, args.mode, extra_env=env)
+    high = _Level(args.high, args.docs, 16, args.mode, extra_env=env)
     try:
         # one discarded warmup each (JIT + python workers — a long-lived
         # cluster executor is warm)
@@ -187,10 +219,11 @@ def main() -> None:
         print(f"warmup local[{args.high}]: {high.run_trial()[0]:.1f}s", flush=True)
         ncpu = os.cpu_count() or 32
         lows, highs, pair_eff, adj_eff = [], [], [], []
+        stage_pairs: list[dict] = []
         ratio = args.high / args.low
         for t in range(args.trials):
-            tl, sl = low.run_trial()
-            th, sh = high.run_trial()
+            tl, sl, stl = low.run_trial()
+            th, sh, sth = high.run_trial()
             lows.append(tl)
             highs.append(th)
             eff = (tl / th) / ratio
@@ -207,6 +240,16 @@ def main() -> None:
                 f"pair efficiency {eff:.3f} raw, {aeff:.3f} steal-adjusted",
                 flush=True,
             )
+            if stl and sth:
+                stage_pairs.append({"low": stl, "high": sth})
+                for label in stl:
+                    if label in sth and sth[label] > 0:
+                        seff = (stl[label] / sth[label]) / ratio
+                        print(
+                            f"  stage {label}: {stl[label]:.1f}s -> "
+                            f"{sth[label]:.1f}s  eff {seff:.3f}",
+                            flush=True,
+                        )
     finally:
         low.close()
         high.close()
@@ -231,6 +274,14 @@ def main() -> None:
         "steal_adjusted_efficiencies": [round(e, 3) for e in adj_eff],
         "median_steal_adjusted_efficiency": round(adj_median, 3),
     }
+    if stage_pairs:
+        summary["stage_pairs"] = [
+            {
+                side: {k: round(v, 2) for k, v in d.items()}
+                for side, d in p.items()
+            }
+            for p in stage_pairs
+        ]
     print(json.dumps(summary))
     if args.mode != "e2e":
         return

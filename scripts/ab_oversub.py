@@ -47,8 +47,8 @@ def main() -> None:
         print(f"warmup B({args.b}): {b.run_trial()[0]:.1f}s", flush=True)
         ta, tb = [], []
         for t in range(args.trials):
-            da, sa = a.run_trial()
-            db, sb = b.run_trial()
+            da, sa, _ = a.run_trial()
+            db, sb, _ = b.run_trial()
             ta.append(da)
             tb.append(db)
             print(

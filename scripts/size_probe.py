@@ -44,8 +44,8 @@ def main() -> None:
               flush=True)
         ts, tb = [], []
         for t in range(args.trials):
-            ds, ss = small.run_trial()
-            db, sb = big.run_trial()
+            ds, ss, _ = small.run_trial()
+            db, sb, _ = big.run_trial()
             ts.append(ds)
             tb.append(db)
             print(

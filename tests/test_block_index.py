@@ -325,6 +325,110 @@ def test_dl_from_postings_matches_tokenize(spark, tmp_path, monkeypatch):
     assert sa["n_docs"] == sb["n_docs"] and sa["avgdl"] == sb["avgdl"]
 
 
+def test_term_dict_build_bit_identical(spark, tmp_path, monkeypatch):
+    """The dictionary-encoded build (term -> lexical int64 id before the
+    blocks shuffle, strings joined back after encoding) must reproduce
+    the direct string build's block TABLE row-for-row — including the
+    varbyte payload bytes — and keep every written file lexically
+    term-clustered (the row-group min/max property the serving
+    directory prunes on)."""
+    import pyarrow.parquet as pq
+
+    import web_search_engine_spark.plans.build_index as B
+
+    src = corpus_df(spark, n_docs=300, seed=11)
+    monkeypatch.setattr(B, "_DL_SOURCE", "postings")  # dict needs postings
+    d_str = str(tmp_path / "strs")
+    d_dict = str(tmp_path / "dict")
+    monkeypatch.setattr(B, "_TERM_DICT", "off")
+    B.build_index(spark, src, d_str, num_shards=3)
+    monkeypatch.setattr(B, "_TERM_DICT", "on")
+    B.build_index(spark, src, d_dict, num_shards=3)
+
+    cols = [
+        "term", "shard", "block_id", "n", "last_docid", "base_docid",
+        "max_tf", "doc_bytes", "freq_bytes",
+    ]
+    a = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{d_str}/blocks").select(*cols).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{d_dict}/blocks").select(*cols).collect()
+    )
+    assert a == b and len(a) > 0
+
+    # Term->partition assignment differs (the bucket key hashes the id,
+    # not the string), so file contents need not match file-for-file.
+    # The property serving's row-group pruning needs is that WITHIN each
+    # written file terms stay lexically clustered (the partition sort on
+    # term_id == lexical order): per (shard, file), the term sequence
+    # must be non-decreasing with doc_id runs ascending inside a term.
+    checked = 0
+    for shard_dir in sorted(os.listdir(f"{d_dict}/blocks")):
+        if not shard_dir.startswith("shard="):
+            continue
+        for fname in sorted(os.listdir(f"{d_dict}/blocks/{shard_dir}")):
+            if not fname.endswith(".parquet"):
+                continue
+            t = pq.read_table(
+                f"{d_dict}/blocks/{shard_dir}/{fname}",
+                columns=["term", "block_id"],
+            )
+            terms = t.column("term").to_pylist()
+            assert terms == sorted(terms), f"{shard_dir}/{fname} not term-sorted"
+            checked += 1
+    assert checked > 0
+
+
+def test_fused_build_matches_agg(spark, tmp_path, monkeypatch):
+    """WSE_BUILD_MODE=fused (single shuffle of raw token occurrences,
+    tf aggregated as sorted-run lengths inside the encoder) must produce
+    the same index as the default two-shuffle aggregated build: block
+    table row-identical including payload bytes, docs_meta and stats
+    identical. The corpus includes empty docs (dl=0, no postings) and
+    repeated terms per doc (tf > 1 run collapsing)."""
+    import web_search_engine_spark.plans.build_index as B
+    from web_search_engine_spark.sources.catalog import read_stats
+
+    src = corpus_df(spark, n_docs=250, seed=5)
+    d_agg = str(tmp_path / "agg")
+    d_fused = str(tmp_path / "fused")
+    monkeypatch.setattr(B, "_BUILD_MODE", "agg")
+    B.build_index(spark, src, d_agg, num_shards=3)
+    monkeypatch.setattr(B, "_BUILD_MODE", "fused")
+    B.build_index(spark, src, d_fused, num_shards=3)
+
+    bcols = [
+        "term", "shard", "block_id", "n", "last_docid", "base_docid",
+        "max_tf", "doc_bytes", "freq_bytes",
+    ]
+    a = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{d_agg}/blocks").select(*bcols).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{d_fused}/blocks").select(*bcols).collect()
+    )
+    assert a == b and len(a) > 0
+    assert any(t[6] > 1 for t in a)  # max_tf>1 blocks exercise run collapsing
+
+    mcols = ["shard", "doc_id", "repo", "path", "dl", "content_sha256"]
+    ma = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{d_agg}/docs_meta").select(*mcols).collect()
+    )
+    mb = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{d_fused}/docs_meta").select(*mcols).collect()
+    )
+    assert ma == mb
+    sa, sb = read_stats(d_agg), read_stats(d_fused)
+    assert sa["n_docs"] == sb["n_docs"] and sa["avgdl"] == sb["avgdl"]
+
+
 def test_doc_id_runtime_invariant_gate(spark, monkeypatch):
     """WSE_VERIFY_DOC_IDS=1 adds the partition-local-position contiguity
     check (ADVICE r3: the id layout rests on Spark internals a version

@@ -126,19 +126,27 @@ def identity_partition_key(shard_col, bucket_col, sub: int, n_part: int):
     ).cast("int")
     return F.element_at(F.array(*[F.lit(s) for s in salts]), key_idx + F.lit(1))
 
-_ARROW_BLOCK_SCHEMA = pa.schema(
-    [
-        ("term", pa.string()),
-        ("shard", pa.int32()),
-        ("block_id", pa.int32()),
-        ("n", pa.int32()),
-        ("last_docid", pa.int64()),
-        ("base_docid", pa.int64()),
-        ("max_tf", pa.int64()),
-        ("doc_bytes", pa.binary()),
-        ("freq_bytes", pa.binary()),
-    ]
-)
+def _arrow_block_schema(term_col: str, term_type: pa.DataType) -> pa.Schema:
+    return pa.schema(
+        [
+            (term_col, term_type),
+            ("shard", pa.int32()),
+            ("block_id", pa.int32()),
+            ("n", pa.int32()),
+            ("last_docid", pa.int64()),
+            ("base_docid", pa.int64()),
+            ("max_tf", pa.int64()),
+            ("doc_bytes", pa.binary()),
+            ("freq_bytes", pa.binary()),
+        ]
+    )
+
+
+_ARROW_BLOCK_SCHEMA = _arrow_block_schema("term", pa.string())
+# dictionary-encoded build: the shuffle carries term_id (int64, lexical
+# rank of the term) instead of the term string — see build_block_index
+_ARROW_BLOCK_ID_SCHEMA = _arrow_block_schema("term_id", pa.int64())
+BLOCK_ID_SCHEMA = BLOCK_SCHEMA.replace("term string", "term_id long", 1)
 
 
 def _encode_batch(pdf: pd.DataFrame, block_size: int, codec: str) -> pd.DataFrame:
@@ -218,10 +226,9 @@ def _encode_batch(pdf: pd.DataFrame, block_size: int, codec: str) -> pd.DataFram
     )
 
 
-def _empty_block_batch() -> pa.RecordBatch:
+def _empty_block_batch(schema: pa.Schema = _ARROW_BLOCK_SCHEMA) -> pa.RecordBatch:
     return pa.RecordBatch.from_arrays(
-        [pa.array([], type=f.type) for f in _ARROW_BLOCK_SCHEMA],
-        schema=_ARROW_BLOCK_SCHEMA,
+        [pa.array([], type=f.type) for f in schema], schema=schema
     )
 
 
@@ -243,13 +250,14 @@ def _binary_from_slices(values: np.ndarray, byte_offsets: np.ndarray) -> pa.Arra
     )
 
 
-def _group_change_mask(batch: pa.RecordBatch) -> np.ndarray:
+def _group_change_mask(batch: pa.RecordBatch, term_col: str = "term") -> np.ndarray:
     """bool[n-1]: row i+1 starts a new (shard, term) group — computed
-    with Arrow kernels, no Python string materialization."""
+    with Arrow kernels, no Python string materialization. term_col is
+    'term_id' on the dictionary-encoded path (int64 compares)."""
     import pyarrow.compute as pc
 
     n = batch.num_rows
-    term = batch.column("term")
+    term = batch.column(term_col)
     shard = batch.column("shard")
     chg = pc.or_(
         pc.not_equal(term.slice(1), term.slice(0, n - 1)),
@@ -258,24 +266,57 @@ def _group_change_mask(batch: pa.RecordBatch) -> np.ndarray:
     return chg.to_numpy(zero_copy_only=False)
 
 
-def _encode_arrow(batch: pa.RecordBatch, block_size: int, codec: str) -> pa.RecordBatch:
+def _encode_arrow(
+    batch: pa.RecordBatch,
+    block_size: int,
+    codec: str,
+    term_col: str = "term",
+    occurrences: bool = False,
+) -> pa.RecordBatch:
     """Arrow-native block builder: one sorted (shard, term, doc_id)
     RecordBatch -> block rows, with payload columns built zero-copy from
     (values-buffer, offsets) pairs. Same block arithmetic and byte
     format as _encode_batch (the pandas spec implementation — tested
-    identical)."""
+    identical). term_col='term_id' runs the identical arithmetic over
+    dictionary-encoded int64 term ids.
+
+    occurrences=True is the FUSED single-shuffle build: the batch holds
+    one row per raw token occurrence (no tf column), sorted by (shard,
+    term, doc_id) — tf aggregation is the run length of equal
+    (term, doc_id) in the sorted stream (two numpy diffs), replacing the
+    relational groupBy's hash aggregation entirely. The sort makes the
+    aggregation free; this is the reference's sorted-runs merge
+    (HW2/engine/merger.py tf-summing on merge) done inside the encoder."""
     import pyarrow.compute as pc
 
+    out_schema = (
+        _ARROW_BLOCK_SCHEMA if term_col == "term" else _ARROW_BLOCK_ID_SCHEMA
+    )
     n = batch.num_rows
     if n == 0:
-        return _empty_block_batch()
+        return _empty_block_batch(out_schema)
     docids = np.asarray(batch.column("doc_id"), dtype=np.int64)
-    tfs = np.asarray(batch.column("tf"), dtype=np.int64)
 
-    new_group = np.empty(n, dtype=bool)
-    new_group[0] = True
+    row_new_group = np.empty(n, dtype=bool)
+    row_new_group[0] = True
     if n > 1:
-        new_group[1:] = _group_change_mask(batch)
+        row_new_group[1:] = _group_change_mask(batch, term_col)
+
+    if occurrences:
+        # collapse runs of equal (group, doc_id) -> one posting with
+        # tf = run length; all downstream arithmetic sees postings
+        new_posting = row_new_group.copy()
+        if n > 1:
+            new_posting[1:] |= docids[1:] != docids[:-1]
+        take_rows = np.flatnonzero(new_posting)
+        tfs = np.diff(np.append(take_rows, n)).astype(np.int64)
+        docids = docids[take_rows]
+        new_group = row_new_group[take_rows]
+        n = len(take_rows)
+    else:
+        tfs = np.asarray(batch.column("tf"), dtype=np.int64)
+        new_group = row_new_group
+        take_rows = None
     group_starts = np.flatnonzero(new_group)
     group_of_row = np.cumsum(new_group) - 1
     row_in_group = np.arange(n) - group_starts[group_of_row]
@@ -311,10 +352,12 @@ def _encode_arrow(batch: pa.RecordBatch, block_size: int, codec: str) -> pa.Reco
         doc_bytes = _binary_from_slices(d32, bounds * 4)
         freq_bytes = _binary_from_slices(f32, bounds * 4)
 
-    idx = pa.array(block_starts)
+    idx = pa.array(
+        block_starts if take_rows is None else take_rows[block_starts]
+    )
     return pa.RecordBatch.from_arrays(
         [
-            pc.take(batch.column("term"), idx).cast(pa.string()),
+            pc.take(batch.column(term_col), idx).cast(out_schema.field(0).type),
             pc.take(batch.column("shard"), idx).cast(pa.int32()),
             pa.array(block_id),
             pa.array(n_in_block),
@@ -324,11 +367,16 @@ def _encode_arrow(batch: pa.RecordBatch, block_size: int, codec: str) -> pa.Reco
             doc_bytes,
             freq_bytes,
         ],
-        schema=_ARROW_BLOCK_SCHEMA,
+        schema=out_schema,
     )
 
 
-def _block_builder(block_size: int, codec: str):
+def _block_builder(
+    block_size: int,
+    codec: str,
+    term_col: str = "term",
+    occurrences: bool = False,
+):
     """mapInArrow function: stream RecordBatches, carry the trailing
     (shard, term) group so a group split across Arrow batches is
     encoded exactly once. All slicing is zero-copy Arrow."""
@@ -347,15 +395,17 @@ def _block_builder(block_size: int, codec: str):
                 continue
             # hold back the final group — it may continue in the next batch
             if n > 1:
-                starts = np.flatnonzero(_group_change_mask(batch))
+                starts = np.flatnonzero(_group_change_mask(batch, term_col))
                 cut = int(starts[-1]) + 1 if len(starts) else 0
             else:
                 cut = 0
             leftover = batch.slice(cut)
             if cut:
-                yield _encode_arrow(batch.slice(0, cut), block_size, codec)
+                yield _encode_arrow(
+                    batch.slice(0, cut), block_size, codec, term_col, occurrences
+                )
         if leftover is not None and leftover.num_rows:
-            yield _encode_arrow(leftover, block_size, codec)
+            yield _encode_arrow(leftover, block_size, codec, term_col, occurrences)
 
     return build
 
@@ -367,8 +417,38 @@ def build_block_index(
     shard_size: int | None = None,
     num_partitions: int | None = None,
     shards_hint: int | None = None,
+    term_col: str = "term",
+    from_occurrences: bool = False,
 ) -> DataFrame:
     """(term, doc_id, tf) -> block rows (BLOCK_SCHEMA).
+
+    from_occurrences=True is the FUSED SINGLE-SHUFFLE build: input is
+    raw (term, doc_id) token occurrences (one row per token, NO tf
+    column, duplicates expected). The occurrences are exchanged ONCE on
+    the salted key and sorted by (shard, term, doc_id); the encoder
+    collapses runs of equal (term, doc_id) into tf counts as it streams
+    (see _encode_arrow). Relative to build_postings -> build_block_index
+    this moves the un-deduplicated token stream through the exchange
+    (~1.6-1.9x the rows of the aggregated postings) but ELIMINATES both
+    hash aggregations (whose spill traffic is GBs at corpus scale), the
+    second corpus-sized exchange, and the postings cache round-trip —
+    the sorted-run architecture of the reference build taken literally
+    (HW2/engine/build_runs_mp.py sorted runs; merger.py tf-sum on
+    merge), with the shuffle as the run exchange.
+
+    term_col='term_id' is the DICTIONARY-ENCODED build (see
+    build_term_dictionary): input is (term_id, doc_id, tf) where
+    term_id is the lexical rank of the term, output is BLOCK_ID_SCHEMA
+    rows. Because ids are lexical, the within-partition sort on
+    (shard, term_id, doc_id) clusters terms exactly as the string sort
+    would, so after the strings are joined back the block TABLE is
+    row-identical to the string build — payload bytes included — and
+    every written file stays lexically term-clustered for row-group
+    pruning (differentially tested; term->partition bucketing hashes
+    the id, so file-level grouping may differ). The win: the
+    corpus-sized shuffle carries an int64 instead of a term string —
+    smaller exchange payload, fixed-width sort keys, int group-change
+    compares in the encoder.
 
     shard_size: max docs per shard (hot-term skew bound). None = single
     shard 0 (byte-identical to the reference whole-corpus build).
@@ -421,17 +501,20 @@ def build_block_index(
         # balance comes from the round-robin, not the key count
         sub = max(1, (4 * n_part + shards - 1) // shards)
         pk = identity_partition_key(
-            F.col("shard"), F.pmod(F.xxhash64("term"), F.lit(sub)), sub, n_part
+            F.col("shard"), F.pmod(F.xxhash64(term_col), F.lit(sub)), sub, n_part
         )
         ordered = sharded.repartition(n_part, pk)
     else:
         oversub = _KEY_OVERSUB if _PARTITION_MODE == "oversub" else 1
         sub = max(1, (oversub * n_part + shards - 1) // shards)
         ordered = sharded.repartition(
-            n_part, "shard", F.pmod(F.xxhash64("term"), F.lit(sub))
+            n_part, "shard", F.pmod(F.xxhash64(term_col), F.lit(sub))
         )
-    ordered = ordered.sortWithinPartitions("shard", "term", "doc_id")
-    return ordered.mapInArrow(_block_builder(block_size, codec), BLOCK_SCHEMA)
+    ordered = ordered.sortWithinPartitions("shard", term_col, "doc_id")
+    out_schema = BLOCK_SCHEMA if term_col == "term" else BLOCK_ID_SCHEMA
+    return ordered.mapInArrow(
+        _block_builder(block_size, codec, term_col, from_occurrences), out_schema
+    )
 
 
 def build_block_index_grouped(

@@ -111,6 +111,28 @@ def salted_term_counts(postings: DataFrame, n_salts: int = 16) -> DataFrame:
     return phase1.groupBy("term").agg(F.sum("partial_df").cast("long").alias("df"))
 
 
+def build_term_dictionary(
+    postings: DataFrame,
+) -> tuple[DataFrame, int, DataFrame]:
+    """(term, term_id) with term_id = dense LEXICAL rank of the term.
+
+    Feeds the dictionary-encoded block build (blocks.build_block_index
+    term_col='term_id'): because ids are assigned in lexical term order,
+    sorting postings by term_id reproduces the term-string sort order
+    exactly, so the encoded blocks are identical after the strings are
+    joined back — while the corpus-sized shuffle moves int64 ids
+    instead of strings. The vocabulary is tiny relative to the corpus
+    (Heaps' law), so the distinct + rank here is a rounding error next
+    to the postings shuffle it shrinks.
+
+    Returns (dict_df, n_terms, cache_handle) — same caller-owns-cache
+    contract as assign_doc_ids_counted.
+    """
+    vocab = postings.select("term").distinct()
+    ranked, n_terms, handle = assign_doc_ids_counted(vocab, ["term"])
+    return ranked.withColumnRenamed("doc_id", "term_id"), n_terms, handle
+
+
 def assign_doc_ids_counted(
     df: DataFrame, key_cols: list[str]
 ) -> tuple[DataFrame, int, DataFrame]:

@@ -55,6 +55,7 @@ from ..operators.blocks import (
 from ..operators.postings import (
     assign_doc_ids_counted,
     build_postings,
+    build_term_dictionary,
     with_tokens,
 )
 from ..sources.catalog import IndexCatalog, read_stats, write_stats
@@ -72,6 +73,39 @@ OBSERVE_MAX_SHARDS = 64
 # costs more (same-window A/B: -1.2 s at 5k docs, -40 s at 3M docs).
 _DL_SOURCE = os.environ.get("WSE_DL_SOURCE", "auto")
 _DL_AUTO_MIN_DOCS = 200_000
+
+# dictionary-encoded block build: replace the term string with its dense
+# lexical rank (int64) BEFORE the corpus-sized blocks shuffle, and join
+# the strings back onto the (tiny) block rows after encoding. The block
+# table comes out row-identical with files still term-clustered (lexical
+# ids sort exactly like the strings — see blocks.build_block_index); the
+# exchange payload and the sort keys
+# shrink to fixed-width ints, which is where the bandwidth-bound
+# sort+encode stage spends its time. MEASURED NEGATIVE at sandbox scale
+# (BENCH.md round 4): with the synthetic corpus's 450-term vocabulary the
+# lz4 shuffle compresses repeated short strings as well as int64 ids
+# (exchange bytes unchanged, 383 vs 386 MB), the sort+encode stage CPU
+# drops only ~17%, and the broadcast map join adds more than that back —
+# so the DEFAULT IS OFF. "auto"/"on" keep the path available (with the
+# bit-identical differential test) for corpora where it pays: large
+# vocabularies of long terms, where the string payload dominates the
+# exchange and dictionary pages can't absorb it.
+_TERM_DICT = os.environ.get("WSE_TERM_DICT", "off")
+_TERM_DICT_MAX_VOCAB = int(
+    os.environ.get("WSE_TERM_DICT_MAX_VOCAB", str(2_000_000))
+)
+
+# build pipeline shape:
+#   "agg"   — explode -> hash-aggregated postings -> second exchange ->
+#             sort + encode (two corpus-sized shuffles; postings cached
+#             and reused for dl when dl_source=postings)
+#   "fused" — single-shuffle: raw token occurrences exchanged once on
+#             the salted key, sorted, tf aggregated as run lengths in
+#             the encoder (blocks.build_block_index from_occurrences).
+#             No hash aggs, no second exchange, no postings cache; dl
+#             comes from the tokenize pass. See BENCH.md round 4 for the
+#             measured comparison.
+_BUILD_MODE = os.environ.get("WSE_BUILD_MODE", "agg")
 
 
 def _action_timer():
@@ -321,6 +355,10 @@ def build_index(
                 dl_source = (
                     "postings" if n_docs >= _DL_AUTO_MIN_DOCS else "tokenize"
                 )
+            if _BUILD_MODE == "fused":
+                # no postings relation exists to derive dl from — dl
+                # rides the tokenize pass that feeds docs_meta
+                dl_source = "tokenize"
             postings = None
             if dl_source == "postings":
                 # tokenize ONCE: dl comes from the postings relation
@@ -329,18 +367,59 @@ def build_index(
                 # dl aggregation reuses it instead of re-tokenizing.
                 postings = build_postings(toks).persist()
                 blocks_input = postings
+            elif _BUILD_MODE == "fused":
+                blocks_input = None  # the occurrence stream feeds blocks
             else:
                 blocks_input = build_postings(toks)
 
+            vocab = vocab_handle = None
+            if postings is not None and _TERM_DICT != "off":
+                vocab, n_terms, vocab_handle = build_term_dictionary(postings)
+                if _TERM_DICT == "auto" and n_terms > _TERM_DICT_MAX_VOCAB:
+                    # vocabulary too big to broadcast onto every block row
+                    # — fall back to the direct string build (at cluster
+                    # scale this would instead become a shuffle join of
+                    # the block rows, still far smaller than the postings)
+                    vocab_handle.unpersist()
+                    vocab = vocab_handle = None
+
             # postings -> blocks (the shuffle IS the merge); shard derives
             # from doc_id inside build_block_index with the same shard_size.
-            blocks = build_block_index(
-                blocks_input,
-                block_size=block_size,
-                codec=codec,
-                shard_size=shard_size,
-                shards_hint=len(pending),
-            )
+            if _BUILD_MODE == "fused":
+                occurrences = toks.select(
+                    "doc_id", F.explode("tokens").alias("term")
+                )
+                blocks = build_block_index(
+                    occurrences,
+                    block_size=block_size,
+                    codec=codec,
+                    shard_size=shard_size,
+                    shards_hint=len(pending),
+                    from_occurrences=True,
+                )
+            elif vocab is not None:
+                enc = postings.join(F.broadcast(vocab), "term").select(
+                    "term_id", "doc_id", "tf"
+                )
+                blocks = build_block_index(
+                    enc,
+                    block_size=block_size,
+                    codec=codec,
+                    shard_size=shard_size,
+                    shards_hint=len(pending),
+                    term_col="term_id",
+                ).join(F.broadcast(vocab), "term_id").select(
+                    "term", "shard", "block_id", "n", "last_docid",
+                    "base_docid", "max_tf", "doc_bytes", "freq_bytes",
+                )
+            else:
+                blocks = build_block_index(
+                    blocks_input,
+                    block_size=block_size,
+                    codec=codec,
+                    shard_size=shard_size,
+                    shards_hint=len(pending),
+                )
             if use_observe:
                 blocks_obs = Observation("blocks_per_shard")
                 blocks = blocks.observe(
@@ -407,6 +486,8 @@ def build_index(
                 os.path.join(index_dir, "docs_meta")
             )
             mark("docs_meta_write")
+            if vocab_handle is not None:
+                vocab_handle.unpersist()
             if postings is not None:
                 postings.unpersist()
 
