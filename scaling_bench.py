@@ -60,7 +60,13 @@ spark = get_spark(
         # measured as a ~50s parallelism-1..5 phase at the head of every
         # local[16] trial (round 4). Identical conf at BOTH levels; on a
         # real cluster the input would be sized to the executor count.
-        "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+        # WSE_MAX_SPLIT_MB A/B knob: at 16 MB the 64 x 3.4 MB files pack
+        # into ~18 splits — only ~1.1 waves of map tasks at 16 cores, so
+        # the tokenize stage tail idles half the cores; smaller splits
+        # give multiple balanced waves per core at both levels.
+        "spark.sql.files.maxPartitionBytes": str(
+            int(os.environ.get("WSE_MAX_SPLIT_MB", "16")) * 1024 * 1024
+        ),
         "spark.sql.files.openCostInBytes": str(1 * 1024 * 1024),
     },
 )

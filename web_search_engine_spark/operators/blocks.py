@@ -64,6 +64,13 @@ _KEY_OVERSUB = int(os.environ.get("WSE_KEY_OVERSUB", "64"))
 #   plain   — plain hash keys, ~1 key per partition (round-2 shape)
 _PARTITION_MODE = os.environ.get("WSE_PARTITION_MODE", "salted")
 
+# shuffle-partition multiple for the blocks exchange: n_part =
+# defaultParallelism * this. >1 makes tasks finer so the scheduler can
+# route around uneven core availability (CPU steal, stragglers) at the
+# cost of proportionally more output files per shard dir; 1 keeps
+# task count == core count (the default; A/B via scripts/ab_oversub.py)
+_PART_MULT = int(os.environ.get("WSE_PART_MULT", "1"))
+
 
 def _mmh3_int32(value: int, seed: int = 42) -> int:
     """Murmur3 x86_32 of one int32 block — bit-identical to Spark's
@@ -494,7 +501,9 @@ def build_block_index(
         )
     else:
         sharded = postings.withColumn("shard", F.lit(0).cast("int"))
-    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    n_part = num_partitions or (
+        spark.sparkContext.defaultParallelism * _PART_MULT
+    )
     shards = max(1, shards_hint or 1)
     if _PARTITION_MODE == "salted":
         # a few keys per partition smooths per-bucket byte skew; exact

@@ -40,6 +40,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # fewer, larger Arrow batches through mapInPandas/pandas_udf
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Spark 4's default 64 MB arrow.maxBytesPerBatch makes the
+        # Python runners call ArrowWriter.sizeInBytes() PER INPUT ROW —
+        # a recursive, allocation-heavy walk of the Arrow vector tree
+        # (jstack-profiled: NonNullableStructVector.setValueCount /
+        # getBufferSizeFor dominate the mapInArrow stage, ~1.8 us/row,
+        # and the allocation churn collapses multi-thread scaling).
+        # Int.MaxValue hits the BatchedPythonArrowInput short-circuit
+        # that skips the walk entirely; batches stay bounded by
+        # maxRecordsPerBatch rows (65536 rows x row width — ~2 MB for
+        # posting rows, ~20 MB for document rows). Paths that feed
+        # multi-MB per-row payloads (media decode) should lower
+        # maxRecordsPerBatch rather than restore the byte cap.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "2147483647")
         .config("spark.sql.session.timeZone", "UTC")
         # 8g measured ~2.7x faster than 48g at local[32] on the index
         # build (G1 young-gen behavior with many allocating task
