@@ -429,6 +429,53 @@ def test_fused_build_matches_agg(spark, tmp_path, monkeypatch):
     assert sa["n_docs"] == sb["n_docs"] and sa["avgdl"] == sb["avgdl"]
 
 
+def test_mapcombine_build_matches_agg(spark, tmp_path, monkeypatch):
+    """WSE_BUILD_MODE=mapcombine (tokenize + per-doc tf counting + dl +
+    sha256 fused into ONE mapInArrow pass; docs_meta from sentinel rows;
+    zero hash aggregations in the plan) must produce the same index as
+    the default aggregated build: block table row-identical including
+    payload bytes, docs_meta (incl. dl=0 + sha for EMPTY docs and the
+    passthrough key cols) identical, stats identical."""
+    import web_search_engine_spark.plans.build_index as B
+    from web_search_engine_spark.sources.catalog import read_stats
+
+    src = corpus_df(spark, n_docs=250, seed=5)
+    d_agg = str(tmp_path / "agg")
+    d_mc = str(tmp_path / "mc")
+    monkeypatch.setattr(B, "_BUILD_MODE", "agg")
+    B.build_index(spark, src, d_agg, num_shards=3)
+    monkeypatch.setattr(B, "_BUILD_MODE", "mapcombine")
+    B.build_index(spark, src, d_mc, num_shards=3)
+
+    bcols = [
+        "term", "shard", "block_id", "n", "last_docid", "base_docid",
+        "max_tf", "doc_bytes", "freq_bytes",
+    ]
+    a = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{d_agg}/blocks").select(*bcols).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{d_mc}/blocks").select(*bcols).collect()
+    )
+    assert a == b and len(a) > 0
+
+    mcols = ["shard", "doc_id", "repo", "path", "dl", "content_sha256"]
+    ma = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{d_agg}/docs_meta").select(*mcols).collect()
+    )
+    mb = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{d_mc}/docs_meta").select(*mcols).collect()
+    )
+    assert ma == mb
+    assert any(t[4] == 0 for t in mb)  # empty docs kept with dl=0
+    sa, sb = read_stats(d_agg), read_stats(d_mc)
+    assert sa["n_docs"] == sb["n_docs"] and sa["avgdl"] == sb["avgdl"]
+
+
 def test_doc_id_runtime_invariant_gate(spark, monkeypatch):
     """WSE_VERIFY_DOC_IDS=1 adds the partition-local-position contiguity
     check (ADVICE r3: the id layout rests on Spark internals a version

@@ -59,13 +59,15 @@ def tokenize_text(text: str | None, unescape_html: bool = True) -> list[str]:
     return _TOKEN_PATTERN.findall(text.lower())
 
 
-@F.pandas_udf(ArrayType(StringType()))
-def tokenize_udf(texts: pd.Series) -> pd.Series:
-    """Vectorized corpus tokenizer (Arrow batches).
+def tokenize_series(texts: pd.Series) -> pd.Series:
+    """Vectorized batch tokenizer: pd.Series[str|None] -> pd.Series[list].
 
-    pandas' ``str`` ops run the regex in C; ftfy (when installed) and
-    html.unescape are the only per-row Python — unescape short-circuits
-    when no '&' is present.
+    The single source of truth for corpus tokenization semantics —
+    ``tokenize_udf`` (pandas_udf path) and the map-combine postings
+    builder (operators/postings.build_postings_mapcombine) both call it,
+    so the two build pipelines cannot drift. pandas' ``str`` ops run the
+    regex in C; ftfy (when installed) and html.unescape are the only
+    per-row Python — unescape short-circuits when no '&' is present.
     """
     if _fix_text is not None:
         cleaned = texts.fillna("").map(
@@ -76,6 +78,12 @@ def tokenize_udf(texts: pd.Series) -> pd.Series:
             lambda t: html.unescape(t) if "&" in t else t
         )
     return cleaned.str.lower().str.findall(TOKEN_RE)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def tokenize_udf(texts: pd.Series) -> pd.Series:
+    """Vectorized corpus tokenizer (Arrow batches) — see tokenize_series."""
+    return tokenize_series(texts)
 
 
 def tokens_sql_col(text_col: str | Column = "text") -> Column:

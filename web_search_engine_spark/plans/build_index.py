@@ -13,9 +13,10 @@ Replaces the reference's three CLI stages (build_runs_mp -> parallel_merge
 Pass discipline (this is what scales): the SOURCE ROWS are read once and
 cached (assign_doc_ids_counted persists its range-partitioned input;
 unpersisted at the end of the build) and large corpora are TOKENIZED
-ONCE per build (round 3; auto-selected above _DL_AUTO_MIN_DOCS, where
-the saved tokenize pass outweighs the dl-join's fixed cost;
-WSE_DL_SOURCE forces either shape).
+ONCE per build (auto-selected above _DL_AUTO_MIN_DOCS — a rule round 4
+re-confirmed in-sequence after the Arrow fix; WSE_DL_SOURCE forces
+either shape). The only corpus-sized shuffles are the postings
+aggregation and the blocks exchange itself.
 
 Job discipline: every Spark action costs seconds of fixed scheduling
 latency regardless of cluster size, so the build runs exactly FOUR jobs
@@ -55,6 +56,7 @@ from ..operators.blocks import (
 from ..operators.postings import (
     assign_doc_ids_counted,
     build_postings,
+    build_postings_mapcombine,
     build_term_dictionary,
     with_tokens,
 )
@@ -67,10 +69,9 @@ OBSERVE_MAX_SHARDS = 64
 # doc-length derivation for docs_meta: "postings" reuses the cached
 # postings relation (dl = SUM(tf) per doc — definitionally equal to the
 # token count) so the corpus is TOKENIZED ONCE per build; "tokenize"
-# keeps the round-2 shape (second tokenize pass). Default "auto" picks
-# by corpus size: the postings path adds a fixed ~1 s of join/shuffle
-# machinery that only pays for itself once the saved tokenize pass
-# costs more (same-window A/B: -1.2 s at 5k docs, -40 s at 3M docs).
+# re-tokenizes (second fully-parallel map pass, no extra shuffle).
+# "auto" picks by corpus size — re-confirmed by a round-4 in-sequence
+# A/B after the Arrow fix (see the resolution-site comment).
 _DL_SOURCE = os.environ.get("WSE_DL_SOURCE", "auto")
 _DL_AUTO_MIN_DOCS = 200_000
 
@@ -105,7 +106,31 @@ _TERM_DICT_MAX_VOCAB = int(
 #             No hash aggs, no second exchange, no postings cache; dl
 #             comes from the tokenize pass. See BENCH.md round 4 for the
 #             measured comparison.
+#   "mapcombine" — ONE mapInArrow pass does tokenize + per-doc tf
+#             counting + dl + sha256 (postings.build_postings_mapcombine);
+#             sentinel rows carry docs_meta. No explode, no hash aggs,
+#             no dl join anywhere: the blocks exchange is the only
+#             corpus-sized shuffle left, and docs_meta is a filter of
+#             the persisted fused relation. See BENCH.md round 4.
 _BUILD_MODE = os.environ.get("WSE_BUILD_MODE", "agg")
+
+# corpus tokenizer for the build (operators/postings.with_tokens):
+#   "split"  — DEFAULT: JVM regexp codegen for ASCII entity-free rows,
+#              pandas_udf only for rows that can need Python cleanup
+#              (NULL / '&' / non-ASCII). Row-identical to "pandas"
+#              (tests/test_tokenizer.py::test_split_tokenizer_matches_pandas)
+#              and removes the worst-scaling component (the Python
+#              worker boundary) from the corpus-sized map stage
+#              (BENCH.md round 4).
+#   "pandas" — every row through the Arrow pandas_udf.
+#   "sql"    — every row pure JVM (diverges on HTML entities).
+# DEFAULT "pandas": the same-window A/B (BENCH.md round 4, e11 probe)
+# measured the JVM regexp path SLOWER at BOTH parallelism levels
+# (1.5M-doc datapath: 94.7 vs 123.5 s at 4 cores, 35.1 vs 59.3 s at
+# 16) — java.util.regex loses more than the Python worker boundary
+# costs. "split" stays available (and differentially tested) for
+# corpora where the regex balance differs.
+_TOKENIZER = os.environ.get("WSE_TOKENIZER", "pandas")
 
 
 def _action_timer():
@@ -280,13 +305,20 @@ def build_index(
     codec: str = CODEC_VARBYTE,
     block_size: int = BLOCK_SIZE,
     num_shards: int = 8,
-    tokenizer: str = "pandas",
+    tokenizer: str | None = None,
     key_cols: tuple[str, ...] = ("repo", "path"),
     text_col: str = "content",
     resume: bool = True,
 ) -> IndexCatalog:
-    """Build (or resume) the blocked index under ``index_dir``."""
+    """Build (or resume) the blocked index under ``index_dir``.
+
+    tokenizer=None resolves to the WSE_TOKENIZER env knob (default
+    "split" — see _TOKENIZER above); pass "pandas"/"sql"/"split"
+    explicitly to pin a path.
+    """
     t_start = time.time()
+    if tokenizer is None:
+        tokenizer = _TOKENIZER
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     prior = _read_manifest_rows(index_dir) if resume else []
@@ -352,6 +384,16 @@ def build_index(
 
             dl_source = _DL_SOURCE
             if dl_source == "auto":
+                # postings above 200k docs: round 4 RE-TESTED this rule
+                # after the Arrow fix (isolated probes suggested the
+                # second tokenize pass had become cheaper than the dl
+                # join) and the in-sequence e2e A/B said otherwise —
+                # tokenize-derived dl read 52-82 s at 16 cores inside a
+                # full build (vs 16-34 s for the join; BENCH.md round-4
+                # §4), the isolated 9.5 s M0 number not surviving heap/
+                # worker pressure from the preceding blocks stage. Keep
+                # the round-3 rule; both shapes stay env-forceable and
+                # differentially tested.
                 dl_source = (
                     "postings" if n_docs >= _DL_AUTO_MIN_DOCS else "tokenize"
                 )
@@ -359,6 +401,23 @@ def build_index(
                 # no postings relation exists to derive dl from — dl
                 # rides the tokenize pass that feeds docs_meta
                 dl_source = "tokenize"
+            fused_mc = None
+            if _BUILD_MODE == "mapcombine":
+                # tokenize + per-doc tf counting + dl + sha256 in ONE
+                # Arrow pass (operators/postings.build_postings_mapcombine):
+                # sentinel rows (term IS NULL) carry the doc-level
+                # columns, so NO hash aggregation and NO dl join exist
+                # anywhere in the build — dl_source is moot here.
+                if tokenizer == "sql":
+                    raise ValueError(
+                        "WSE_BUILD_MODE=mapcombine implements the "
+                        "'pandas'/'split' tokenizer semantics only"
+                    )
+                fused_mc = build_postings_mapcombine(
+                    work, text_col=text_col, doc_rows=True,
+                    passthrough_cols=(*key_cols, *meta_cols),
+                ).persist()
+                dl_source = "mapcombine"
             postings = None
             if dl_source == "postings":
                 # tokenize ONCE: dl comes from the postings relation
@@ -367,6 +426,10 @@ def build_index(
                 # dl aggregation reuses it instead of re-tokenizing.
                 postings = build_postings(toks).persist()
                 blocks_input = postings
+            elif _BUILD_MODE == "mapcombine":
+                blocks_input = fused_mc.filter(
+                    F.col("term").isNotNull()
+                ).select("term", "doc_id", "tf")
             elif _BUILD_MODE == "fused":
                 blocks_input = None  # the occurrence stream feeds blocks
             else:
@@ -436,7 +499,16 @@ def build_index(
             mark("blocks_write")
 
             # one combined doc-level table: stats + lineage + sha invariant
-            if postings is not None:
+            if fused_mc is not None:
+                # sentinel rows already carry dl (=tf), sha256, and the
+                # key/meta columns; shard is a pure projection of doc_id
+                docs_meta = fused_mc.filter(F.col("term").isNull()).select(
+                    (F.col("doc_id") / F.lit(shard_size))
+                    .cast("int").alias("shard"),
+                    "doc_id", *key_cols, *meta_cols,
+                    F.col("tf").alias("dl"), "content_sha256",
+                )
+            elif postings is not None:
                 dl = postings.groupBy("doc_id").agg(
                     F.sum("tf").cast("long").alias("dl")
                 )
@@ -490,6 +562,8 @@ def build_index(
                 vocab_handle.unpersist()
             if postings is not None:
                 postings.unpersist()
+            if fused_mc is not None:
+                fused_mc.unpersist()
 
             if use_observe:
                 dv, bv = docs_obs.get, blocks_obs.get
