@@ -207,6 +207,7 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--mode", default="e2e", choices=["e2e", "datapath"])
+    ap.add_argument("--warmups", type=int, default=2)
     ap.add_argument(
         "--stage-timings", action="store_true",
         help="WSE_BUILD_TIMINGS=1 in the children: per-action walls "
@@ -219,10 +220,19 @@ def main() -> None:
     low = _Level(args.low, args.docs, 16, args.mode, extra_env=env)
     high = _Level(args.high, args.docs, 16, args.mode, extra_env=env)
     try:
-        # one discarded warmup each (JIT + python workers — a long-lived
-        # cluster executor is warm)
-        print(f"warmup local[{args.low}]: {low.run_trial()[0]:.1f}s", flush=True)
-        print(f"warmup local[{args.high}]: {high.run_trial()[0]:.1f}s", flush=True)
+        # discarded warmups (JIT + python worker pools + page cache — a
+        # long-lived cluster executor is warm; one build does not fully
+        # stabilize them: with --warmups 1 the first timed round's high
+        # side consistently read ~1.5-2x its later rounds)
+        for w in range(args.warmups):
+            print(
+                f"warmup {w} local[{args.low}]: {low.run_trial()[0]:.1f}s",
+                flush=True,
+            )
+            print(
+                f"warmup {w} local[{args.high}]: {high.run_trial()[0]:.1f}s",
+                flush=True,
+            )
         ncpu = os.cpu_count() or 32
         lows, highs, pair_eff, adj_eff = [], [], [], []
         stage_pairs: list[dict] = []
@@ -303,8 +313,9 @@ def main() -> None:
 Full index build (tokenize pandas_udf -> postings -> varbyte blocks +
 lexicon + doc stats, 16 shards) over {args.docs:,} deterministic
 synthetic source files (seed 42). Methodology: one warm child process
-per parallelism level (fresh JVM each, never concurrent), one untimed
-warmup build each, then {args.trials} INTERLEAVED timed rounds
+per parallelism level (fresh JVM each, never concurrent),
+{args.warmups} untimed warmup build(s) each, then {args.trials}
+INTERLEAVED timed rounds
 (L,H,L,H,... — the sandbox VM's CPU throughput drifts 2-3x between
 windows minutes apart, so only same-window pairs are comparable);
 shuffle dirs + output on tmpfs so the single sandbox disk does not mask
