@@ -46,16 +46,13 @@ BATCH_QUERIES = [
 ]
 
 
-def _cpu_stat() -> tuple[int, int]:
-    """(steal_jiffies, total_jiffies) — the sandbox VM's host steals a
-    time-varying share of CPU (observed 40%+); sampling it per timed row
-    lets a reader separate engine regressions from VM weather
-    (VERDICT r3 #3: the r3 artifact landed in a degraded window and
-    read 3.1x worse than the controlled same-window evidence)."""
-    with open("/proc/stat") as f:
-        parts = f.readline().split()
-    vals = [int(x) for x in parts[1:9]]
-    return vals[7], sum(vals)
+# (steal_jiffies, total_jiffies) sampler — sampling it per timed row
+# lets a reader separate engine regressions from VM weather (VERDICT
+# r3 #3: the r3 artifact landed in a degraded window and read 3.1x
+# worse than the controlled same-window evidence). One implementation,
+# shared with the scaling harness (scripts/ab_oversub.py and
+# scripts/size_probe.py import from the same place).
+from scaling_bench import _cpu_stat
 
 
 def main() -> None:

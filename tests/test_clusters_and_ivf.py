@@ -208,3 +208,42 @@ def test_materialized_ivf_prunes_files_and_matches(spark, tmp_path):
         .filter(F.col("list_id").isin([0, 3]))
         .count()
     )
+
+
+def test_ivf_probe_survives_empty_lists(spark, tmp_path):
+    """A centroid can own ZERO vectors (fixed Lloyd rounds, no
+    reseeding), so partitionBy writes no directory for its list —
+    probing it must mean 'empty', not PATH_NOT_FOUND (round-4 review
+    fix). nlist far above the corpus size forces empty lists; the
+    full-probe result must still equal exact brute force."""
+    import os
+
+    import pandas as pd
+
+    vecs = pd.DataFrame(
+        {
+            "vec_id": range(6),
+            "embedding": [
+                [1.0, 0.0], [0.9, 0.1], [0.0, 1.0],
+                [0.1, 0.9], [-1.0, 0.0], [-0.9, -0.1],
+            ],
+        }
+    )
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    ivf_dir = str(tmp_path / "ivf_sparse")
+    nlist = 16  # >> 6 vectors: several lists must be empty
+    build_ivf(emb, ivf_dir, nlist=nlist)
+    present = {
+        d
+        for d in os.listdir(os.path.join(ivf_dir, "data"))
+        if d.startswith("list_id=")
+    }
+    assert len(present) < nlist  # the scenario is real
+
+    key = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["vec_id"], round(r["cosine"], 6))
+        for r in rows
+    )
+    full = ivf_probe_topk(spark, ivf_dir, [0, 4], 3, nprobe=nlist).collect()
+    exact = cosine_topk_batch(emb, [0, 4], 3).collect()
+    assert key(full) == key(exact)

@@ -46,6 +46,15 @@ def with_tokens(df: DataFrame, text_col: str = "content", method: str = "pandas"
     workers and streaming only the entity/non-ASCII slice.
     """
     if method == "split":
+        from ..functions import tokenizer as _tok
+
+        if _tok._fix_text is not None:
+            # ftfy also rewrites pure-ASCII text (control chars,
+            # terminal escapes), so no JVM-side guard can prove a row
+            # unaffected — the split would silently diverge from the
+            # pandas path. Degrade to all-pandas and keep the
+            # row-identity contract.
+            return df.withColumn("tokens", tokenize_udf(F.col(text_col)))
         needs_py = (
             F.col(text_col).isNull()
             | F.col(text_col).contains("&")
@@ -342,24 +351,28 @@ def assign_doc_ids_counted(
         # Spark internals — the (pid << 33) + row layout of
         # monotonically_increasing_id, and Catalyst never pushing the
         # nondeterministic projection below sortWithinPartitions. A
-        # Spark upgrade could silently scramble ids; this guard (one
-        # extra aggregation job, so env-gated) proves each partition's
-        # local positions are exactly 0..count-1: mid is strictly
-        # increasing within a partition, so max == count-1 over count
-        # distinct non-negative values forces the full contiguous range.
+        # Spark upgrade could silently scramble ids; this guard
+        # (env-gated: it costs one extra job INCLUDING a window
+        # exchange) cross-checks every row's _lpos against the explicit
+        # row_number-over-key-order formulation — a per-row rank
+        # identity, so a permutation or duplicate that a max/count
+        # aggregate would miss fails loudly.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_pid").orderBy(*key_cols)
         bad = (
             ranged.sortWithinPartitions(*key_cols)
             .withColumn("_lpos", local_pos)
-            .groupBy("_pid")
-            .agg(F.max("_lpos").alias("mx"), F.count("*").alias("n"))
-            .filter(F.col("mx") + 1 != F.col("n"))
+            .withColumn("_rank", F.row_number().over(w) - 1)
+            .filter(F.col("_lpos") != F.col("_rank"))
             .count()
         )
         if bad:
             raise RuntimeError(
-                "doc_id assignment invariant violated: partition-local "
-                "positions are not contiguous 0..n-1 on this Spark "
-                "version (monotonically_increasing_id layout changed?)"
+                f"doc_id assignment invariant violated on {bad} rows: "
+                "partition-local positions diverge from the key-order "
+                "rank (monotonically_increasing_id layout changed, or "
+                "Catalyst moved the projection below the sort?)"
             )
     out = (
         ranged.sortWithinPartitions(*key_cols)

@@ -386,7 +386,20 @@ def _probe_scan(spark, ivf_dir: str, lists: list[int]) -> DataFrame:
     import os
 
     data_dir = os.path.join(ivf_dir, "data")
-    paths = [os.path.join(data_dir, f"list_id={c}") for c in sorted(set(lists))]
+    # a centroid can legitimately own ZERO vectors (fixed Lloyd rounds,
+    # no empty-cluster reseeding) and partitionBy writes no directory
+    # for it — probing such a list must mean "empty", not PATH_NOT_FOUND
+    paths = [
+        p
+        for c in sorted(set(lists))
+        if os.path.isdir(p := os.path.join(data_dir, f"list_id={c}"))
+    ]
+    if not paths:
+        return (
+            spark.read.option("basePath", data_dir)
+            .parquet(data_dir)
+            .limit(0)
+        )
     return spark.read.option("basePath", data_dir).parquet(*paths)
 
 

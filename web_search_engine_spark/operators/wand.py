@@ -661,7 +661,9 @@ def search_blocks(
 
     if kernel == "bmw_block":
         if is_and:
-            raise ValueError("bmw_block is an OR kernel; AND uses taat/daat")
+            raise ValueError(
+                "bmw_block is an OR kernel; AND uses taat/vec_and/daat"
+            )
         entries = flat_entries()
         metas = []
         for term in sorted_terms:

@@ -115,21 +115,18 @@ _TERM_DICT_MAX_VOCAB = int(
 _BUILD_MODE = os.environ.get("WSE_BUILD_MODE", "agg")
 
 # corpus tokenizer for the build (operators/postings.with_tokens):
-#   "split"  — DEFAULT: JVM regexp codegen for ASCII entity-free rows,
+#   "pandas" — DEFAULT: every row through the Arrow pandas_udf.
+#   "split"  — JVM regexp codegen for ASCII entity-free rows,
 #              pandas_udf only for rows that can need Python cleanup
 #              (NULL / '&' / non-ASCII). Row-identical to "pandas"
-#              (tests/test_tokenizer.py::test_split_tokenizer_matches_pandas)
-#              and removes the worst-scaling component (the Python
-#              worker boundary) from the corpus-sized map stage
-#              (BENCH.md round 4).
-#   "pandas" — every row through the Arrow pandas_udf.
+#              (tests/test_tokenizer.py::test_split_tokenizer_matches_pandas).
 #   "sql"    — every row pure JVM (diverges on HTML entities).
-# DEFAULT "pandas": the same-window A/B (BENCH.md round 4, e11 probe)
-# measured the JVM regexp path SLOWER at BOTH parallelism levels
-# (1.5M-doc datapath: 94.7 vs 123.5 s at 4 cores, 35.1 vs 59.3 s at
-# 16) — java.util.regex loses more than the Python worker boundary
-# costs. "split" stays available (and differentially tested) for
-# corpora where the regex balance differs.
+# The default is "pandas" because the same-window A/B (BENCH.md round
+# 4, scripts/probe_tokenizer_ab.py) measured the JVM regexp path
+# SLOWER at BOTH parallelism levels (1.5M-doc datapath: 94.7 vs
+# 123.5 s at 4 cores, 35.1 vs 59.3 s at 16) — java.util.regex loses
+# more than the Python worker boundary costs. "split" stays available
+# for corpora where the regex balance differs.
 _TOKENIZER = os.environ.get("WSE_TOKENIZER", "pandas")
 
 
@@ -313,7 +310,7 @@ def build_index(
     """Build (or resume) the blocked index under ``index_dir``.
 
     tokenizer=None resolves to the WSE_TOKENIZER env knob (default
-    "split" — see _TOKENIZER above); pass "pandas"/"sql"/"split"
+    "pandas" — see _TOKENIZER above); pass "pandas"/"sql"/"split"
     explicitly to pin a path.
     """
     t_start = time.time()
@@ -436,6 +433,17 @@ def build_index(
                 blocks_input = build_postings(toks)
 
             vocab = vocab_handle = None
+            if _TERM_DICT == "on" and postings is None:
+                # the dictionary build consumes the persisted postings
+                # relation, which only exists when dl_source resolved to
+                # "postings" — honor the explicit knob loudly instead of
+                # silently running the plain string build
+                raise ValueError(
+                    "WSE_TERM_DICT=on requires the postings-backed build "
+                    "shape (WSE_DL_SOURCE=postings, and not "
+                    "WSE_BUILD_MODE=fused/mapcombine); got "
+                    f"dl_source={dl_source!r}, build_mode={_BUILD_MODE!r}"
+                )
             if postings is not None and _TERM_DICT != "off":
                 vocab, n_terms, vocab_handle = build_term_dictionary(postings)
                 if _TERM_DICT == "auto" and n_terms > _TERM_DICT_MAX_VOCAB:
