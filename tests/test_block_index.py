@@ -476,6 +476,38 @@ def test_mapcombine_build_matches_agg(spark, tmp_path, monkeypatch):
     assert sa["n_docs"] == sb["n_docs"] and sa["avgdl"] == sb["avgdl"]
 
 
+def test_dl_source_conflicts_with_fused_modes(spark, tmp_path, monkeypatch):
+    """ADVICE r4: an explicitly pinned WSE_DL_SOURCE=postings must fail
+    loudly under fused/mapcombine (no standalone postings relation
+    exists there), mirroring the WSE_TERM_DICT=on contract — not
+    silently build a different shape."""
+    import pytest
+
+    import web_search_engine_spark.plans.build_index as B
+
+    src = corpus_df(spark, n_docs=30, seed=5)
+    monkeypatch.setattr(B, "_DL_SOURCE", "postings")
+    for mode in ("fused", "mapcombine"):
+        monkeypatch.setattr(B, "_BUILD_MODE", mode)
+        with pytest.raises(ValueError, match="WSE_DL_SOURCE=postings"):
+            B.build_index(spark, src, str(tmp_path / mode), num_shards=1)
+
+
+def test_arrow_records_cap_derives_from_row_bound(monkeypatch):
+    """ADVICE r4: with the Arrow byte cap removed, the records cap must
+    come from the declared row-width bound so wide-row corpora don't
+    produce multi-GB Arrow batches."""
+    from web_search_engine_spark.session import arrow_records_per_batch
+
+    monkeypatch.delenv("WSE_EXPECTED_ROW_BYTES", raising=False)
+    assert arrow_records_per_batch() == 65536  # default == measured optimum
+    monkeypatch.setenv("WSE_EXPECTED_ROW_BYTES", "300000")
+    cap = arrow_records_per_batch()
+    assert 256 <= cap < 1024  # ~894: 300 KB docs -> ~256 MB batches
+    monkeypatch.setenv("WSE_EXPECTED_ROW_BYTES", str(1 << 30))
+    assert arrow_records_per_batch() == 256  # floor keeps batches useful
+
+
 def test_doc_id_runtime_invariant_gate(spark, monkeypatch):
     """WSE_VERIFY_DOC_IDS=1 adds the partition-local-position contiguity
     check (ADVICE r3: the id layout rests on Spark internals a version

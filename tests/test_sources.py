@@ -129,6 +129,37 @@ def test_single_big_file_split_parallel(spark, tmp_path):
     assert got == want
 
 
+def test_reader_cross_scan_guard(spark, tmp_path, monkeypatch):
+    """ADVICE r4: the line-number offsets come from a FIRST scan and are
+    joined onto a SECOND scan of the same source — WSE_READER_CHECK=1
+    re-verifies the end result (dense per-file 0..rows-1 numbering) on
+    the joined output. Run it over both a multi-file glob and a
+    many-split single file; guard must pass silently on a healthy
+    Spark."""
+    monkeypatch.setenv("WSE_READER_CHECK", "1")
+    (tmp_path / "a.tsv").write_text(
+        "\n".join(f"{i}\tdoc a {i}" for i in range(40)) + "\n"
+    )
+    (tmp_path / "b.tsv").write_text(
+        "\n".join(f"{i}\tdoc b {i}" for i in range(25)) + "\n"
+    )
+    assert read_tsv_corpus(spark, str(tmp_path / "*.tsv")).count() == 65
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "512")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        big = tmp_path / "big.tsv"
+        big.write_text(
+            "\n".join(f"{i}\tdoc {i} {'y' * (i % 23)}" for i in range(300)) + "\n"
+        )
+        assert read_tsv_corpus(spark, str(big)).count() == 300
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+
+
 def test_read_source_table_dispatch(spark, tmp_path):
     """One resolver for the north rule's source surface: Iceberg table
     id (clear error without the runtime), parquet dir, TSV, JSONL."""

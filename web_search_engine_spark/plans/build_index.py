@@ -394,6 +394,16 @@ def build_index(
                 dl_source = (
                     "postings" if n_docs >= _DL_AUTO_MIN_DOCS else "tokenize"
                 )
+            if _BUILD_MODE in ("fused", "mapcombine") and _DL_SOURCE == "postings":
+                # honor an explicitly pinned dl source loudly (the same
+                # contract as WSE_TERM_DICT=on below) — these build modes
+                # have no standalone postings relation to derive dl from,
+                # and silently switching shapes hides the conflict
+                raise ValueError(
+                    "WSE_DL_SOURCE=postings is incompatible with "
+                    f"WSE_BUILD_MODE={_BUILD_MODE!r}: no standalone "
+                    "postings relation exists in this build shape"
+                )
             if _BUILD_MODE == "fused":
                 # no postings relation exists to derive dl from — dl
                 # rides the tokenize pass that feeds docs_meta

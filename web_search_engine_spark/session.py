@@ -14,6 +14,18 @@ from pyspark.sql import SparkSession
 from .config import DEFAULT_SHUFFLE_PARTITIONS
 
 
+def arrow_records_per_batch() -> int:
+    """Arrow records-per-batch cap derived from a declared row-width
+    bound (ADVICE r4): with the byte cap removed (see below), batch
+    bytes ~= records x row width, so cap records at ~256 MB target /
+    WSE_EXPECTED_ROW_BYTES. Default 4 KiB reproduces the
+    measured-optimal 65536; a 300 KB-document corpus setting
+    WSE_EXPECTED_ROW_BYTES=300000 gets ~894-row batches instead of
+    multi-GB ones."""
+    row_bound = max(1, int(os.environ.get("WSE_EXPECTED_ROW_BYTES", "4096")))
+    return max(256, min(65536, (256 << 20) // row_bound))
+
+
 def get_spark(
     app_name: str = "web_search_engine_spark",
     master: str | None = None,
@@ -38,8 +50,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # fewer, larger Arrow batches through mapInPandas/pandas_udf
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # fewer, larger Arrow batches through mapInPandas/pandas_udf —
+        # bounded by the declared row width, see arrow_records_per_batch
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(arrow_records_per_batch()),
+        )
         # Spark 4's default 64 MB arrow.maxBytesPerBatch makes the
         # Python runners call ArrowWriter.sizeInBytes() PER INPUT ROW —
         # a recursive, allocation-heavy walk of the Arrow vector tree
@@ -48,10 +64,9 @@ def get_spark(
         # and the allocation churn collapses multi-thread scaling).
         # Int.MaxValue hits the BatchedPythonArrowInput short-circuit
         # that skips the walk entirely; batches stay bounded by
-        # maxRecordsPerBatch rows (65536 rows x row width — ~2 MB for
-        # posting rows, ~20 MB for document rows). Paths that feed
-        # multi-MB per-row payloads (media decode) should lower
-        # maxRecordsPerBatch rather than restore the byte cap.
+        # maxRecordsPerBatch rows, which is derived from the declared
+        # row-width bound above — set WSE_EXPECTED_ROW_BYTES for wide
+        # rows rather than restoring the byte cap.
         .config("spark.sql.execution.arrow.maxBytesPerBatch", "2147483647")
         .config("spark.sql.session.timeZone", "UTC")
         # 8g measured ~2.7x faster than 48g at local[32] on the index

@@ -18,6 +18,7 @@ Seed-fixed; no external data. Designed to exercise:
 from __future__ import annotations
 
 import hashlib
+import os
 import random
 
 import pandas as pd
@@ -171,13 +172,43 @@ def _numbered_lines(spark, path: str):
         pd.DataFrame(offs, columns=["file", "_bstart", "_mid0", "_offset"]),
         "file string, _bstart long, _mid0 long, _offset long",
     )
-    return (
+    out = (
         base.join(F.broadcast(off_df), ["file", "_bstart"])
         .withColumn(
             "line_no", F.col("_offset") + (F.col("mid") - F.col("_mid0"))
         )
         .drop("_bstart", "_mid0", "_offset")
     )
+    if os.environ.get("WSE_READER_CHECK") == "1":
+        # cross-scan guard (ADVICE r4): the contiguity assert above only
+        # validates the FIRST scan; the output projection is a second
+        # scan of the source, and line_no is only right if both scans
+        # assigned the same mid per (file, _bstart) split. Verify the
+        # end result per file — a dense 0..rows-1 numbering — instead of
+        # trusting the packing. Costs one extra aggregation over the
+        # output scan, so it's opt-in (tests enable it; production runs
+        # can too when a Spark upgrade changes scan planning).
+        bad = (
+            out.groupBy("file")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.min("line_no").alias("lo"),
+                F.max("line_no").alias("hi"),
+                F.countDistinct("line_no").alias("uniq"),
+            )
+            .filter(
+                (F.col("lo") != 0)
+                | (F.col("hi") != F.col("cnt") - 1)
+                | (F.col("uniq") != F.col("cnt"))
+            )
+            .collect()
+        )
+        if bad:
+            raise RuntimeError(
+                "line_no numbering is not dense per file — the two "
+                f"source scans packed splits differently: {bad[:3]}"
+            )
+    return out
 
 
 def read_tsv_corpus(spark, path: str):
