@@ -476,6 +476,98 @@ def test_mapcombine_build_matches_agg(spark, tmp_path, monkeypatch):
     assert sa["n_docs"] == sb["n_docs"] and sa["avgdl"] == sb["avgdl"]
 
 
+def test_sqlenc_build_matches_agg(spark, tmp_path, monkeypatch):
+    """WSE_BUILD_MODE=sqlenc (all-JVM block encode: collect_list +
+    higher-order functions + hex/unhex varbyte, zero Python workers in
+    the reduce — VERDICT r4 #2) must produce the same index as the
+    default build: block table row-identical including payload bytes,
+    docs_meta and stats identical."""
+    import web_search_engine_spark.plans.build_index as B
+    from web_search_engine_spark.sources.catalog import read_stats
+
+    src = corpus_df(spark, n_docs=250, seed=5)
+    d_agg = str(tmp_path / "agg")
+    d_sql = str(tmp_path / "sqlenc")
+    monkeypatch.setattr(B, "_BUILD_MODE", "agg")
+    B.build_index(spark, src, d_agg, num_shards=3)
+    monkeypatch.setattr(B, "_BUILD_MODE", "sqlenc")
+    B.build_index(spark, src, d_sql, num_shards=3)
+
+    bcols = [
+        "term", "shard", "block_id", "n", "last_docid", "base_docid",
+        "max_tf", "doc_bytes", "freq_bytes",
+    ]
+    a = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{d_agg}/blocks").select(*bcols).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{d_sql}/blocks").select(*bcols).collect()
+    )
+    assert a == b and len(a) > 0
+    assert any(t[6] > 1 for t in a)  # max_tf>1 blocks exercise gap+tf paths
+
+    mcols = ["shard", "doc_id", "repo", "path", "dl", "content_sha256"]
+    ma = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{d_agg}/docs_meta").select(*mcols).collect()
+    )
+    mb = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{d_sql}/docs_meta").select(*mcols).collect()
+    )
+    assert ma == mb
+    sa, sb = read_stats(d_agg), read_stats(d_sql)
+    assert sa["n_docs"] == sb["n_docs"] and sa["avgdl"] == sb["avgdl"]
+
+    # the reduce stage is Python-free: no Arrow/Python eval node in the
+    # sqlenc block plan (the tokenizer pandas_udf is upstream of the
+    # postings agg, not in the encode)
+    from web_search_engine_spark.operators.blocks import build_block_index_sql
+    from web_search_engine_spark.operators.postings import build_postings, with_tokens
+
+    plan_df = build_block_index_sql(
+        build_postings(with_tokens(src.limit(50).withColumn("doc_id", F.lit(0)), "content")),
+        shard_size=100,
+    )
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan
+
+
+def test_sqlenc_rejects_term_dict_on(spark, tmp_path, monkeypatch):
+    """WSE_TERM_DICT=on requires the string-term mapInArrow build; the
+    SQL encoder must refuse loudly."""
+    import pytest
+
+    import web_search_engine_spark.plans.build_index as B
+
+    src = corpus_df(spark, n_docs=30, seed=5)
+    monkeypatch.setattr(B, "_BUILD_MODE", "sqlenc")
+    monkeypatch.setattr(B, "_TERM_DICT", "on")
+    with pytest.raises(ValueError, match="sqlenc"):
+        B.build_index(spark, src, str(tmp_path / "x"), num_shards=1)
+
+
+def test_vb_hex_expr_edge_values(spark):
+    """JVM varbyte expression vs the numpy codec on boundary values:
+    0, 127/128 (1->2 byte), every 7-bit boundary, and large longs."""
+    from web_search_engine_spark.functions import codec as C
+    from web_search_engine_spark.operators.blocks import _vb_hex_expr
+
+    vals = [0, 1, 127, 128, 129, (1 << 14) - 1, 1 << 14, (1 << 21) - 1,
+            1 << 21, (1 << 28) - 1, 1 << 28, (1 << 35), (1 << 42) + 17,
+            (1 << 49) + 3, (1 << 56) + 9, (1 << 62) + 5]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["v"]: bytes(r["b"])
+        for r in df.select("v", F.unhex(_vb_hex_expr(F.col("v"))).alias("b")).collect()
+    }
+    for v in vals:
+        want = C.vb_encode(np.array([v], dtype=np.uint64))
+        assert got[v] == want, (v, got[v].hex(), want.hex())
+
+
 def test_dl_source_conflicts_with_fused_modes(spark, tmp_path, monkeypatch):
     """ADVICE r4: an explicitly pinned WSE_DL_SOURCE=postings must fail
     loudly under fused/mapcombine (no standalone postings relation

@@ -526,6 +526,150 @@ def build_block_index(
     )
 
 
+def _vb_hex_expr(v):
+    """Catalyst expression: hex string of the varbyte encoding of a
+    non-negative long `v` — little-endian 7-bit groups, MSB (0x80) on
+    the LAST byte (functions/codec.py / HW2/engine/listio.py:229-321).
+
+    Byte j exists iff j == 0 or v >= 2^(7j); it is the last byte iff
+    v < 2^(7(j+1)) (always true at j=8: every long < 2^63). Each byte
+    renders as two hex digits; unhex() of the concatenation is the
+    payload. All-JVM: no Python worker, no Arrow crossing.
+    """
+    parts = []
+    for j in range(9):
+        byte = F.shiftright(v, 7 * j).bitwiseAND(F.lit(127))
+        if j == 8:
+            byte_val = byte + F.lit(128)
+        else:
+            byte_val = byte + F.when(
+                v < F.lit(1 << (7 * (j + 1))), F.lit(128)
+            ).otherwise(F.lit(0))
+        piece = F.lpad(F.hex(byte_val), 2, "0")
+        if j == 0:
+            parts.append(piece)
+        else:
+            parts.append(
+                F.when(v >= F.lit(1 << (7 * j)), piece).otherwise(F.lit(""))
+            )
+    return F.concat(*parts)
+
+
+def _u4_hex_expr(v):
+    """Catalyst expression: hex of `v` as a little-endian uint32 (the
+    raw codec, functions/codec.py raw_encode)."""
+    return F.concat(
+        *[
+            F.lpad(F.hex(F.shiftright(v, 8 * k).bitwiseAND(F.lit(255))), 2, "0")
+            for k in range(4)
+        ]
+    )
+
+
+def build_block_index_sql(
+    postings: DataFrame,
+    block_size: int = BLOCK_SIZE,
+    codec: str = CODEC_VARBYTE,
+    shard_size: int | None = None,
+    num_partitions: int | None = None,
+    shards_hint: int | None = None,
+) -> DataFrame:
+    """(term, doc_id, tf) -> block rows with the ENCODE entirely
+    JVM-side — zero Python workers, zero Arrow crossings in the reduce
+    stage (the round-4 scaling forensics isolated the mapInArrow
+    encode's Python/Arrow boundary as a non-scaling residual; this is
+    the A/B that answers it).
+
+    Shape: groupBy(shard, term) collects each group's postings into a
+    doc_id-sorted array (ObjectHashAggregate, one exchange — the same
+    logical merge as the mapInArrow build's repartition+sort), then
+    pure column expressions chunk the array into <=block_size blocks
+    (transform + slice + posexplode) and render the delta-gap varbyte
+    payloads as hex strings folded through unhex (_vb_hex_expr). Output
+    rows are byte-identical to build_block_index (differentially
+    tested).
+
+    Trade-offs vs the mapInArrow build, by design:
+      - group arrays are bounded by shard_size postings (the same skew
+        bound), ~16 B/posting of agg buffer;
+      - output partitioning is hash(shard, term), so a partitionBy
+        write would emit tasks x shards files; the caller re-applies
+        the salted identity repartition over the (index-sized, ~10x
+        smaller than postings) block rows before writing;
+      - per-element work runs through Catalyst higher-order functions
+        (interpreted per element, but JVM-threaded — the point of the
+        A/B is whether removing the Python boundary beats the numpy
+        kernel's per-core speed at scale).
+    """
+    if shard_size:
+        sharded = postings.withColumn(
+            "shard", (F.col("doc_id") / F.lit(int(shard_size))).cast("int")
+        )
+    else:
+        sharded = postings.withColumn("shard", F.lit(0).cast("int"))
+    bs = int(block_size)
+    grouped = sharded.groupBy("shard", "term").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "tf"))).alias("ps")
+    )
+    blocks = grouped.select(
+        "term",
+        "shard",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size("ps") - F.lit(1)) / F.lit(bs)).cast("int"),
+                ),
+                lambda i: F.struct(
+                    F.slice("ps", i * bs + 1, bs).alias("chunk"),
+                    F.when(i == F.lit(0), F.lit(0).cast("long"))
+                    .otherwise(
+                        F.element_at(
+                            F.col("ps"), F.greatest(i * bs, F.lit(1))
+                        )["doc_id"]
+                    )
+                    .alias("base"),
+                ),
+            )
+        ).alias("block_id", "blk"),
+    )
+    chunk = F.col("blk")["chunk"]
+    base = F.col("blk")["base"]
+    # gaps: continuous delta chain — first gap of block b>0 is the diff
+    # against the previous block's last docid (= base), block 0 starts
+    # absolute from base 0 (same spec as _encode_arrow)
+    gaps = F.transform(
+        chunk,
+        lambda x, j: x["doc_id"]
+        - F.when(j == F.lit(0), base).otherwise(
+            F.element_at(chunk, F.greatest(j, F.lit(1)))["doc_id"]
+        ),
+    )
+    if codec == CODEC_VARBYTE:
+        doc_hex = F.array_join(F.transform(gaps, _vb_hex_expr), "")
+        freq_hex = F.array_join(
+            F.transform(chunk, lambda x: _vb_hex_expr(x["tf"])), ""
+        )
+    else:
+        doc_hex = F.array_join(
+            F.transform(chunk, lambda x: _u4_hex_expr(x["doc_id"])), ""
+        )
+        freq_hex = F.array_join(
+            F.transform(chunk, lambda x: _u4_hex_expr(x["tf"])), ""
+        )
+    return blocks.select(
+        "term",
+        "shard",
+        F.col("block_id").cast("int").alias("block_id"),
+        F.size(chunk).cast("int").alias("n"),
+        F.element_at(chunk, -1)["doc_id"].cast("long").alias("last_docid"),
+        base.cast("long").alias("base_docid"),
+        F.array_max(chunk["tf"]).cast("long").alias("max_tf"),
+        F.unhex(doc_hex).alias("doc_bytes"),
+        F.unhex(freq_hex).alias("freq_bytes"),
+    )
+
+
 def build_block_index_grouped(
     postings: DataFrame,
     block_size: int = BLOCK_SIZE,

@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from ..config import BLOCK_SIZE, CODEC_VARBYTE
 from ..operators.blocks import (
     build_block_index,
+    build_block_index_sql,
     identity_partition_key,
     lexicon_from_blocks,
 )
@@ -112,6 +113,12 @@ _TERM_DICT_MAX_VOCAB = int(
 #             no dl join anywhere: the blocks exchange is the only
 #             corpus-sized shuffle left, and docs_meta is a filter of
 #             the persisted fused relation. See BENCH.md round 4.
+#   "sqlenc" — the agg pipeline with the block ENCODE entirely JVM-side
+#             (blocks.build_block_index_sql: collect_list + higher-order
+#             functions + hex/unhex varbyte) — zero Python workers and
+#             zero Arrow crossings in the reduce stage. The round-5
+#             scaling A/B answering VERDICT r4 #2; byte-identical rows
+#             (differentially tested). Incompatible with WSE_TERM_DICT=on.
 _BUILD_MODE = os.environ.get("WSE_BUILD_MODE", "agg")
 
 # corpus tokenizer for the build (operators/postings.with_tokens):
@@ -443,6 +450,12 @@ def build_index(
                 blocks_input = build_postings(toks)
 
             vocab = vocab_handle = None
+            if _TERM_DICT == "on" and _BUILD_MODE == "sqlenc":
+                raise ValueError(
+                    "WSE_TERM_DICT=on is incompatible with "
+                    "WSE_BUILD_MODE=sqlenc (the SQL encoder builds from "
+                    "term strings)"
+                )
             if _TERM_DICT == "on" and postings is None:
                 # the dictionary build consumes the persisted postings
                 # relation, which only exists when dl_source resolved to
@@ -454,7 +467,7 @@ def build_index(
                     "WSE_BUILD_MODE=fused/mapcombine); got "
                     f"dl_source={dl_source!r}, build_mode={_BUILD_MODE!r}"
                 )
-            if postings is not None and _TERM_DICT != "off":
+            if postings is not None and _TERM_DICT != "off" and _BUILD_MODE != "sqlenc":
                 vocab, n_terms, vocab_handle = build_term_dictionary(postings)
                 if _TERM_DICT == "auto" and n_terms > _TERM_DICT_MAX_VOCAB:
                     # vocabulary too big to broadcast onto every block row
@@ -493,6 +506,32 @@ def build_index(
                     "term", "shard", "block_id", "n", "last_docid",
                     "base_docid", "max_tf", "doc_bytes", "freq_bytes",
                 )
+            elif _BUILD_MODE == "sqlenc":
+                # all-JVM encode (VERDICT r4 #2 A/B). The agg's output
+                # partitioning is hash(shard, term) — writing that
+                # directly would emit tasks x shards files — so the
+                # salted identity repartition is re-applied over the
+                # BLOCK rows (index-sized, ~10x smaller than postings),
+                # and the within-partition sort restores the term
+                # clustering the 4 MB row-group pruning relies on.
+                par_b = spark.sparkContext.defaultParallelism
+                sub_b = max(
+                    1, (4 * par_b + len(pending) - 1) // max(1, len(pending))
+                )
+                blocks = build_block_index_sql(
+                    blocks_input,
+                    block_size=block_size,
+                    codec=codec,
+                    shard_size=shard_size,
+                ).repartition(
+                    par_b,
+                    identity_partition_key(
+                        F.col("shard"),
+                        F.pmod(F.xxhash64("term"), F.lit(sub_b)),
+                        sub_b,
+                        par_b,
+                    ),
+                ).sortWithinPartitions("shard", "term", "block_id")
             else:
                 blocks = build_block_index(
                     blocks_input,
