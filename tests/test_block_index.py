@@ -568,6 +568,29 @@ def test_vb_hex_expr_edge_values(spark):
         assert got[v] == want, (v, got[v].hex(), want.hex())
 
 
+def test_dl_join_strategies_identical(spark, tmp_path, monkeypatch):
+    """WSE_DL_JOIN broadcast vs shuffle (VERDICT r4 #3: the docs_meta
+    join was always sort-merge; small corpora now broadcast the dl
+    side) must produce identical docs_meta. Force dl_source=postings so
+    the join exists at this corpus size."""
+    import web_search_engine_spark.plans.build_index as B
+
+    src = corpus_df(spark, n_docs=200, seed=9)
+    monkeypatch.setattr(B, "_DL_SOURCE", "postings")
+    outs = {}
+    for strat in ("broadcast", "shuffle"):
+        monkeypatch.setattr(B, "_DL_JOIN", strat)
+        d = str(tmp_path / strat)
+        B.build_index(spark, src, d, num_shards=2)
+        outs[strat] = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{d}/docs_meta")
+            .select("shard", "doc_id", "repo", "path", "dl", "content_sha256")
+            .collect()
+        )
+    assert outs["broadcast"] == outs["shuffle"] and len(outs["broadcast"]) == 200
+
+
 def test_dl_source_conflicts_with_fused_modes(spark, tmp_path, monkeypatch):
     """ADVICE r4: an explicitly pinned WSE_DL_SOURCE=postings must fail
     loudly under fused/mapcombine (no standalone postings relation

@@ -136,6 +136,22 @@ _BUILD_MODE = os.environ.get("WSE_BUILD_MODE", "agg")
 # for corpora where the regex balance differs.
 _TOKENIZER = os.environ.get("WSE_TOKENIZER", "pandas")
 
+# how the per-doc dl (SUM tf over the persisted postings) joins back
+# onto the source rows for docs_meta:
+#   "auto"      — broadcast below _DL_BROADCAST_MAX_DOCS, else shuffle
+#   "broadcast" — force broadcast-hash (dl side = n_docs rows of
+#                 (long, long); Catalyst can't SEE that the agg output
+#                 is join-key-unique and small, so it plans sort-merge
+#                 with two exchanges + sorts unless told)
+#   "shuffle"   — force the stock sort-merge (the 100-TB shape: at
+#                 billions of docs the dl relation outgrows the driver)
+_DL_JOIN = os.environ.get("WSE_DL_JOIN", "auto")
+# 16 B/row -> ~320 MB broadcast at the cap; beyond that the executors'
+# and driver's memory pay more than the avoided exchange
+_DL_BROADCAST_MAX_DOCS = int(
+    os.environ.get("WSE_DL_BROADCAST_MAX_DOCS", str(20_000_000))
+)
+
 
 def _action_timer():
     """WSE_BUILD_TIMINGS=1 -> print per-action wall times (the build is
@@ -569,6 +585,15 @@ def build_index(
                 dl = postings.groupBy("doc_id").agg(
                     F.sum("tf").cast("long").alias("dl")
                 )
+                dl_join = _DL_JOIN
+                if dl_join == "auto":
+                    dl_join = (
+                        "broadcast"
+                        if n_docs <= _DL_BROADCAST_MAX_DOCS
+                        else "shuffle"
+                    )
+                if dl_join == "broadcast":
+                    dl = F.broadcast(dl)
                 docs_meta = (
                     work.select(
                         "shard", "doc_id", *key_cols, *meta_cols,
