@@ -167,3 +167,48 @@ def test_hyperplane_signs_plan_is_constant_size(spark):
     assert "ArrowEvalPython" in plan or "EvalPython" in plan, plan[:2000]
     # no element_at unroll: one occurrence per plan at most
     assert plan.count("element_at") == 0, plan[:2000]
+
+
+def test_fuzzy_dedup_end_to_end_composition(docs):
+    """VERDICT r4 #7: LSH pairs -> connected components -> canonical
+    keeper -> filtered corpus must compose consistently:
+      - membership covers every doc exactly once (singletons included);
+      - cluster labels are the transitive closure of the verified LSH
+        pair graph (python union-find oracle over the engine's own
+        pairs, which are independently DuckDB-verified at the gate);
+      - keeper = min doc_id per cluster;
+      - fuzzy_dedup_corpus == docs minus non-keepers, columns intact."""
+    pairs = [
+        (r["a"], r["b"]) for r in D.minhash_lsh_pairs(docs).collect()
+    ]
+    n = docs.count()
+
+    # union-find oracle
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: min(x for x in range(n) if find(x) == find(d)) for d in range(n)}
+
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in D.fuzzy_dedup_clusters(docs).collect()
+    }
+    assert set(got) == set(range(n))  # total, exactly once
+    for d in range(n):
+        assert got[d] == (want[d], d == want[d]), (d, got[d], want[d])
+
+    kept = D.fuzzy_dedup_corpus(docs)
+    assert kept.columns == docs.columns
+    keeper_ids = {d for d, (c, k) in got.items() if k}
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == keeper_ids
+    # at least one multi-doc cluster collapsed (planted dups exist)
+    assert len(keeper_ids) < n
