@@ -34,6 +34,11 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=4)
     ap.add_argument("--high", type=int, default=16)
     ap.add_argument("--warmups", type=int, default=1)
+    ap.add_argument(
+        "--mode", default="datapath", choices=["datapath", "e2e"],
+        help="datapath = blocks action only; e2e = full 4-action build "
+        "(the headline scaling job) — same 4-way interleaving either way",
+    )
     args = ap.parse_args()
 
     ratio = args.high / args.low
@@ -41,7 +46,7 @@ def main() -> None:
         cores,
         args.docs,
         16,
-        "datapath",
+        args.mode,
         extra_env={"WSE_BUILD_MODE": mode} if mode != "agg" else {},
     )
     kids = {
@@ -79,7 +84,10 @@ def main() -> None:
         for k in kids.values():
             k.close()
 
-    summary = {"docs": args.docs, "low": args.low, "high": args.high}
+    summary = {
+        "docs": args.docs, "low": args.low, "high": args.high,
+        "mode": args.mode,
+    }
     for mode in ("arrow", "sql"):
         lo = results[(mode, args.low)]
         hi = results[(mode, args.high)]
