@@ -39,15 +39,26 @@ def main() -> None:
         help="datapath = blocks action only; e2e = full 4-action build "
         "(the headline scaling job) — same 4-way interleaving either way",
     )
+    ap.add_argument(
+        "--env-b", default="",
+        help="extra KEY=VAL,KEY=VAL env for the 'sql' side only — e.g. "
+        "WSE_TOKENIZER=split turns that side into the zero-Python-"
+        "crossing build (JVM tokenize for the ASCII slice + JVM encode)",
+    )
     args = ap.parse_args()
 
+    env_b = dict(
+        kv.split("=", 1) for kv in args.env_b.split(",") if "=" in kv
+    )
     ratio = args.high / args.low
     mk = lambda cores, mode: _Level(  # noqa: E731
         cores,
         args.docs,
         16,
         args.mode,
-        extra_env={"WSE_BUILD_MODE": mode} if mode != "agg" else {},
+        extra_env=(
+            {"WSE_BUILD_MODE": mode, **env_b} if mode != "agg" else {}
+        ),
     )
     kids = {
         ("arrow", args.low): mk(args.low, "agg"),
