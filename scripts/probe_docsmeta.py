@@ -82,7 +82,25 @@ joined = (
     .select("shard", "doc_id", *key_cols, *meta_cols, "dl",
             "content_sha256"))
 
+# repartition-first dl agg: the default plan's partial agg over a
+# (term,doc_id)-hashed relation builds a ~n_docs-entry map per map
+# partition and emits ~one row per key PER PARTITION, so exchanged
+# rows GROW with parallelism (P x n_docs). Projecting to the 16-byte
+# (doc_id, tf) rows and doc-hashing them FIRST makes the exchange a
+# constant |postings| rows and shrinks every agg map to n_docs/P.
+dl_b = (
+    postings.select("doc_id", "tf")
+    .repartition(F.col("doc_id"))
+    .groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+)
+joined_b = (
+    shameta.join(F.broadcast(dl_b), "doc_id", "left")
+    .withColumn("dl", F.coalesce("dl", F.lit(0).cast("long")))
+    .select("shard", "doc_id", *key_cols, *meta_cols, "dl",
+            "content_sha256"))
+
 def d0(): noop(dl)
+def d0b(): noop(dl_b)
 def d1(): noop(shameta)
 def d2(): noop(joined)
 def d3():
@@ -95,8 +113,18 @@ def d3():
     ).write.mode("overwrite").partitionBy("shard").parquet(out)
     shutil.rmtree(out, ignore_errors=True)
 
-VARIANTS = [("D0_dlagg", d0), ("D1_shameta", d1),
-            ("D2_joined", d2), ("D3_full", d3)]
+def d3b():
+    out = tempfile.mkdtemp(prefix=f"wse_dmb_{cores}_", dir="/dev/shm")
+    par = spark.sparkContext.defaultParallelism
+    sub = max(1, (4 * par + 16 - 1) // 16)
+    joined_b.repartition(
+        par, identity_partition_key(
+            F.col("shard"), F.pmod(F.col("doc_id"), F.lit(sub)), sub, par),
+    ).write.mode("overwrite").partitionBy("shard").parquet(out)
+    shutil.rmtree(out, ignore_errors=True)
+
+VARIANTS = [("D0_dlagg", d0), ("D0b_dlrepart", d0b), ("D1_shameta", d1),
+            ("D2_joined", d2), ("D3_full", d3), ("D3b_full_repart", d3b)]
 print("READY", flush=True)
 for line in sys.stdin:
     cmd = line.strip()

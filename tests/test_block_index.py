@@ -591,6 +591,47 @@ def test_dl_join_strategies_identical(spark, tmp_path, monkeypatch):
     assert outs["broadcast"] == outs["shuffle"] and len(outs["broadcast"]) == 200
 
 
+def test_dl_agg_strategies_identical(spark, tmp_path, monkeypatch):
+    """WSE_DL_AGG partial vs repartition (round-5 docs_meta fix): the
+    repartition-first dl plan — project (doc_id, tf), hash-repartition
+    by doc_id, then aggregate — must produce docs_meta row-identical to
+    the stock partial-agg plan. The partial plan's exchange grows as
+    P x n_docs (anti-scaling at wide parallelism, BENCH.md round-5
+    decomposition); the repartition plan's is constant |postings|.
+    Zero-token docs (no postings rows) must survive both via the left
+    join coalesce."""
+    import web_search_engine_spark.plans.build_index as B
+
+    src = corpus_df(spark, n_docs=150, seed=42)  # kind==7 rows: dl=0
+    monkeypatch.setattr(B, "_DL_SOURCE", "postings")
+    outs = {}
+    for strat in ("partial", "repartition"):
+        monkeypatch.setattr(B, "_DL_AGG", strat)
+        d = str(tmp_path / strat)
+        B.build_index(spark, src, d, num_shards=3)
+        outs[strat] = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{d}/docs_meta")
+            .select("shard", "doc_id", "repo", "path", "dl", "content_sha256")
+            .collect()
+        )
+    assert outs["partial"] == outs["repartition"]
+    assert len(outs["partial"]) == 150
+    assert any(t[4] == 0 for t in outs["partial"])  # dl=0 docs kept
+
+
+def test_dl_agg_rejects_unknown_value(spark, tmp_path, monkeypatch):
+    import pytest
+
+    import web_search_engine_spark.plans.build_index as B
+
+    src = corpus_df(spark, n_docs=30, seed=3)
+    monkeypatch.setattr(B, "_DL_SOURCE", "postings")
+    monkeypatch.setattr(B, "_DL_AGG", "bogus")
+    with pytest.raises(ValueError, match="WSE_DL_AGG"):
+        B.build_index(spark, src, str(tmp_path / "x"), num_shards=2)
+
+
 def test_dl_source_conflicts_with_fused_modes(spark, tmp_path, monkeypatch):
     """ADVICE r4: an explicitly pinned WSE_DL_SOURCE=postings must fail
     loudly under fused/mapcombine (no standalone postings relation

@@ -152,6 +152,31 @@ _DL_BROADCAST_MAX_DOCS = int(
     os.environ.get("WSE_DL_BROADCAST_MAX_DOCS", str(20_000_000))
 )
 
+# physical plan for the dl aggregation itself (SUM(tf) GROUP BY doc_id
+# over the persisted postings — the docs_meta stage's dominant cost,
+# BENCH.md round-5 decomposition):
+#   "partial"     — the stock plan: partial hash agg on the
+#                 (term,doc_id)-hashed postings, exchange, final agg.
+#                 At high parallelism the partial agg is structurally
+#                 anti-scaling: each map task's hash map holds up to
+#                 n_docs entries and emits ~one row per key per
+#                 PARTITION, so exchanged rows grow as P x n_docs.
+#   "repartition" — project to the 16-byte (doc_id, tf) rows and
+#                 hash-repartition them by doc_id FIRST: the exchange
+#                 is a constant |postings| compact rows regardless of
+#                 P, and every agg map shrinks to n_docs/P entries.
+#                 Measured 1.04 pair efficiency 4->16 cores vs 0.46
+#                 for "partial" (scripts/probe_docsmeta.py) — the
+#                 1000-executor plan.
+#   "auto"        — partial only while it still reduces the exchange
+#                 >= 2x (P x n_docs <= |postings| / 2, i.e. narrow
+#                 parallelism relative to avgdl); repartition
+#                 otherwise. |postings| comes from the blocks-stage
+#                 Observation already paid for; without it (>64
+#                 pending shards) wide parallelism implies the
+#                 repartition plan.
+_DL_AGG = os.environ.get("WSE_DL_AGG", "auto")
+
 
 def _action_timer():
     """WSE_BUILD_TIMINGS=1 -> print per-action wall times (the build is
@@ -582,7 +607,42 @@ def build_index(
                     F.col("tf").alias("dl"), "content_sha256",
                 )
             elif postings is not None:
-                dl = postings.groupBy("doc_id").agg(
+                dl_agg = _DL_AGG
+                if dl_agg not in ("auto", "partial", "repartition"):
+                    raise ValueError(
+                        "WSE_DL_AGG must be auto|partial|repartition, "
+                        f"got {dl_agg!r}"
+                    )
+                par_dl = spark.sparkContext.defaultParallelism
+                if dl_agg == "auto":
+                    # partial agg earns its keep only while it still
+                    # SHRINKS the exchange: it emits up to one row per
+                    # doc per map partition, so its output is
+                    # ~min(|postings|, P x n_docs) rows. Below a 2x
+                    # reduction the repartition-first plan wins (and
+                    # keeps winning at any scale — constant exchange,
+                    # per-partition maps shrink with P). |postings| is
+                    # read from the blocks-stage Observation, already
+                    # materialized by the blocks write above.
+                    n_post = None
+                    if use_observe and blocks_obs is not None:
+                        _bv = blocks_obs.get
+                        n_post = sum(int(_bv[f"p_{s}"]) for s in pending)
+                    if n_post is not None:
+                        dl_agg = (
+                            "partial"
+                            if 2 * par_dl * n_docs <= n_post
+                            else "repartition"
+                        )
+                    else:
+                        # no cheap postings count (>OBSERVE_MAX_SHARDS
+                        # pending): wide parallelism means the partial
+                        # agg is structurally anti-scaling — switch on P
+                        dl_agg = "repartition" if par_dl >= 16 else "partial"
+                dl_base = postings.select("doc_id", "tf")
+                if dl_agg == "repartition":
+                    dl_base = dl_base.repartition(F.col("doc_id"))
+                dl = dl_base.groupBy("doc_id").agg(
                     F.sum("tf").cast("long").alias("dl")
                 )
                 dl_join = _DL_JOIN
