@@ -137,6 +137,36 @@ def _wand_gate(spark: SparkSession, sf_dir: str, query: str, mode: str) -> DataF
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _subset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 subset extractor under the hard gate (plans/search.
+    extract_subset, reference extract_subset.py:15-32): write the
+    first-100-by-doc_id documents to a parquet subset, read the subset
+    back, and compare its (doc_id, text_len) rows — the written-and-
+    re-read artifact, not the plan, is what the gate verifies. The
+    orderBy makes "first N" deterministic (TakeOrderedAndProject);
+    the reference's notion is "first N lines of the corpus file"."""
+    import shutil
+    import tempfile
+
+    from web_search_engine_spark.plans.search import extract_subset
+
+    tmp = tempfile.mkdtemp(prefix="subset_gate_")
+    try:
+        extract_subset(_docs(spark, sf_dir).orderBy("doc_id"), tmp, 100)
+        pdf = (
+            spark.read.parquet(tmp)
+            .select(
+                "doc_id", F.length("text").cast("long").alias("text_len")
+            )
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # re-create from pandas: the files backing the lazy plan are gone
+    # once the temp dir is removed (same pattern as _mode_build_gate)
+    return spark.createDataFrame(pdf, "doc_id long, text_len long")
+
+
 def _fuzzy_dedup_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH pairs -> clusters -> keeper filter -> re-index: corpus-level
     index stats of the deduplicated corpus, one row."""
@@ -275,6 +305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # S8/O5: lexicon derived from block rows (df, chunk count, max_tf)
         "block_meta": lambda spark, sf: lexicon_from_blocks(_block_index(spark, sf)),
+        # S11: first-N corpus subset written to parquet and read back
+        "subset_extract": _subset_extract,
         # opt-in pipeline shapes under the hard gate (VERDICT r4 #4):
         # full build_index in each mode, written blocks decoded back to
         # postings — same oracle as tf_postings
@@ -935,6 +967,12 @@ def oracle_sql() -> dict[str, str]:
         "lexicon": f"WITH {_CTES} SELECT term, df FROM dft",
         # encode -> decode identity: same oracle as tf_postings
         "block_roundtrip": f"WITH {_CTES} SELECT term, doc_id, tf FROM tf",
+        # S11: deterministic first-100 subset, verified on the re-read
+        # parquet artifact
+        "subset_extract": (
+            "SELECT doc_id, length(text)::BIGINT AS text_len"
+            " FROM documents ORDER BY doc_id LIMIT 100"
+        ),
         # per-(term, doc-range-shard) chunking arithmetic (shard_size=100,
         # block_size=128) + additive lexicon merge
         "block_meta": f"""
