@@ -99,6 +99,29 @@ def test_cli_build_query_inspect(tmp_path):
     assert json.loads(out.stdout)["n_docs"] == 200
 
 
+def test_cli_subset(spark, tmp_path):
+    """`subset` extracts a deterministic first-N parquet sample when
+    --order-by names a key (reference HW2/extract_subset.py:15-32)."""
+    from pyspark.sql import Window
+
+    from web_search_engine_spark import cli
+
+    src = str(tmp_path / "src.parquet")
+    out = str(tmp_path / "sub.parquet")
+    corpus_df(spark, n_docs=50, seed=7).withColumn(
+        "row_id", F.row_number().over(Window.orderBy("repo", "path")) - 1
+    ).write.mode("overwrite").parquet(src)
+    cli.main(
+        ["subset", "--source", src, "--format", "parquet", "--out", out,
+         "--limit", "10", "--order-by", "row_id"]
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == 10
+    assert sorted(r["row_id"] for r in got.select("row_id").collect()) == list(
+        range(10)
+    )
+
+
 def test_cli_package(tmp_path):
     out_zip = str(tmp_path / "engine.zip")
     subprocess.run(

@@ -61,6 +61,24 @@ def cmd_build(args) -> None:
     )
 
 
+def cmd_subset(args) -> None:
+    """First-N-docs corpus sampler (reference HW2/extract_subset.py:15-32)
+    over any supported source format. --order-by names the column that
+    defines "first" (text sources carry the reader's line_no; parquet
+    corpora usually have a doc key) and makes the sample deterministic
+    (TakeOrderedAndProject); omitted, Spark takes an arbitrary N rows —
+    the cheaper choice when any sample will do."""
+    from .plans.search import extract_subset
+    from .sources.corpus import read_source_table
+
+    spark = _spark(args)
+    src = read_source_table(spark, args.source, fmt=args.format)
+    if args.order_by:
+        src = src.orderBy(args.order_by)
+    extract_subset(src, args.out, args.limit)
+    print(json.dumps({"out": args.out, "limit": args.limit}))
+
+
 def cmd_query(args) -> None:
     from .plans.search import SearchEngine
 
@@ -156,6 +174,23 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--tokenizer", default="pandas", choices=["pandas", "sql"])
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=cmd_build)
+
+    x = sub.add_parser(
+        "subset", help="extract the first N docs to a parquet subset"
+    )
+    x.add_argument("--source", required=True)
+    x.add_argument(
+        "--format", default=None,
+        choices=["iceberg", "parquet", "tsv", "jsonl"],
+    )
+    x.add_argument("--out", required=True)
+    x.add_argument("--limit", type=int, default=1000)
+    x.add_argument(
+        "--order-by", default=None,
+        help="column defining 'first' (e.g. line_no for text sources); "
+             "omitted = arbitrary N rows",
+    )
+    x.set_defaults(fn=cmd_subset)
 
     q = sub.add_parser("query", help="interactive BM25 query against an index")
     q.add_argument("--index", required=True)
