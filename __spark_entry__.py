@@ -584,26 +584,33 @@ _JACCARD = (
     " / (len(sa.shingles) + len(sb.shingles)"
     " - len(list_intersect(sa.shingles, sb.shingles))), 6)"
 )
-# fuzzy-dedup closure: verified LSH pairs (same CTEs the green
-# lsh_pairs oracle uses) -> transitive closure -> min-reachable-id
-# cluster per document (singletons included via the documents seed)
-_FUZZY_MEMBERS = f"""
-{{sigs}},
-fbands AS (
+# banded LSH: 2-row band hashes -> candidate pairs -> exact-Jaccard
+# verify at >= 0.5 — ONE definition, formatted into both the lsh_pairs
+# oracle (prefix "") and the fuzzy-dedup closure (prefix "f"), so the
+# two gates can never drift onto different pair semantics
+_LSH_VERIFIED_PAIRS = """
+{p}bands AS (
   SELECT doc_id, (perm // 2)::INT AS band,
          md5(string_agg(minhash, '|' ORDER BY minhash)) AS bh
   FROM sigs GROUP BY doc_id, (perm // 2)::INT
 ),
-fcand AS (
+{p}cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM fbands x JOIN fbands y
+  FROM {p}bands x JOIN {p}bands y
     ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
 ),
-fpairs AS (
-  SELECT a, b
-  FROM fcand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
-  WHERE {{jaccard}} >= 0.5
-),
+{p}pairs AS (
+  SELECT a, b, {jaccard} AS jaccard
+  FROM {p}cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+  WHERE {jaccard} >= 0.5
+)
+"""
+# fuzzy-dedup closure: the shared verified-pairs CTEs -> transitive
+# closure -> min-reachable-id cluster per document (singletons
+# included via the documents seed)
+_FUZZY_MEMBERS = f"""
+{_SIGS},
+{_LSH_VERIFIED_PAIRS.format(p="f", jaccard=_JACCARD).strip()},
 fedges AS (SELECT a, b FROM fpairs UNION SELECT b AS a, a AS b FROM fpairs),
 freach(node, r) AS (
   SELECT doc_id, doc_id FROM documents
@@ -715,18 +722,8 @@ FROM documents
         "minhash_sigs": f"WITH {_SIGS} SELECT doc_id, perm, minhash FROM sigs",
         "lsh_pairs": f"""
 WITH {_SIGS},
-bands AS (
-  SELECT doc_id, (perm // 2)::INT AS band,
-         md5(string_agg(minhash, '|' ORDER BY minhash)) AS bh
-  FROM sigs GROUP BY doc_id, (perm // 2)::INT
-),
-cand AS (
-  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
-)
-SELECT a, b, {_JACCARD} AS jaccard
-FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
-WHERE {_JACCARD} >= 0.5
+{_LSH_VERIFIED_PAIRS.format(p="", jaccard=_JACCARD).strip()}
+SELECT a, b, jaccard FROM pairs
 """,
         "simhash": f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sim",
         "simhash_pairs": f"""
@@ -907,11 +904,11 @@ SELECT node AS vec_id, min(r) AS cluster_id, (node = min(r)) AS is_keeper
 FROM reach GROUP BY node
 """,
         "fuzzy_dedup_clusters": f"""
-WITH RECURSIVE {_FUZZY_MEMBERS.format(sigs=_SIGS, jaccard=_JACCARD)}
+WITH RECURSIVE {_FUZZY_MEMBERS.strip()}
 SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_keeper FROM fmembers
 """,
         "fuzzy_dedup_reindex": f"""
-WITH RECURSIVE {_FUZZY_MEMBERS.format(sigs=_SIGS, jaccard=_JACCARD)},
+WITH RECURSIVE {_FUZZY_MEMBERS.strip()},
 kt AS (
   SELECT d.doc_id, {_TOKS} AS t
   FROM documents d JOIN fmembers m

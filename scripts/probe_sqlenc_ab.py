@@ -50,6 +50,11 @@ def main() -> None:
     env_b = dict(
         kv.split("=", 1) for kv in args.env_b.split(",") if "=" in kv
     )
+    if "WSE_TOKENIZER" in env_b and args.mode != "e2e":
+        # the datapath child hardcodes the pandas tokenizer
+        # (scaling_bench.py); only the e2e build reads WSE_TOKENIZER —
+        # silently no-opping would mislabel the A/B as zero-crossing
+        ap.error("--env-b WSE_TOKENIZER=... requires --mode e2e")
     ratio = args.high / args.low
     mk = lambda cores, mode: _Level(  # noqa: E731
         cores,

@@ -632,6 +632,20 @@ def test_dl_agg_rejects_unknown_value(spark, tmp_path, monkeypatch):
         B.build_index(spark, src, str(tmp_path / "x"), num_shards=2)
 
 
+def test_dl_join_rejects_unknown_value(spark, tmp_path, monkeypatch):
+    """Knob validation runs at build_index ENTRY, so a typo'd value
+    fails every build shape — including small corpora whose dl_source
+    resolves to tokenize and never reaches the join branch."""
+    import pytest
+
+    import web_search_engine_spark.plans.build_index as B
+
+    src = corpus_df(spark, n_docs=30, seed=3)
+    monkeypatch.setattr(B, "_DL_JOIN", "brodcast")
+    with pytest.raises(ValueError, match="WSE_DL_JOIN"):
+        B.build_index(spark, src, str(tmp_path / "x"), num_shards=2)
+
+
 def test_dl_source_conflicts_with_fused_modes(spark, tmp_path, monkeypatch):
     """ADVICE r4: an explicitly pinned WSE_DL_SOURCE=postings must fail
     loudly under fused/mapcombine (no standalone postings relation

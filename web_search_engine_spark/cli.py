@@ -64,10 +64,11 @@ def cmd_build(args) -> None:
 def cmd_subset(args) -> None:
     """First-N-docs corpus sampler (reference HW2/extract_subset.py:15-32)
     over any supported source format. --order-by names the column that
-    defines "first" (text sources carry the reader's line_no; parquet
-    corpora usually have a doc key) and makes the sample deterministic
-    (TakeOrderedAndProject); omitted, Spark takes an arbitrary N rows —
-    the cheaper choice when any sample will do."""
+    defines "first" (TSV/JSONL readers fold the line number into the
+    zero-padded `path` column, so `--order-by path` reproduces file
+    order; parquet corpora usually have a doc key) and makes the sample
+    deterministic (TakeOrderedAndProject); omitted, Spark takes an
+    arbitrary N rows — the cheaper choice when any sample will do."""
     from .plans.search import extract_subset
     from .sources.corpus import read_source_table
 
@@ -187,7 +188,8 @@ def main(argv: list[str] | None = None) -> None:
     x.add_argument("--limit", type=int, default=1000)
     x.add_argument(
         "--order-by", default=None,
-        help="column defining 'first' (e.g. line_no for text sources); "
+        help="column defining 'first' (e.g. path for TSV/JSONL sources, "
+             "whose reader folds the line number into it); "
              "omitted = arbitrary N rows",
     )
     x.set_defaults(fn=cmd_subset)

@@ -571,8 +571,6 @@ def build_block_index_sql(
     block_size: int = BLOCK_SIZE,
     codec: str = CODEC_VARBYTE,
     shard_size: int | None = None,
-    num_partitions: int | None = None,
-    shards_hint: int | None = None,
 ) -> DataFrame:
     """(term, doc_id, tf) -> block rows with the ENCODE entirely
     JVM-side — zero Python workers, zero Arrow crossings in the reduce

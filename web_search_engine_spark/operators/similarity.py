@@ -375,13 +375,14 @@ def build_ivf(
     ).write.mode("overwrite").partitionBy("list_id").parquet(
         os.path.join(out_dir, "data")
     )
-    # vec_id-sorted sidecar (~12 B/row vs KBs/row for embeddings): the
-    # assignment re-derives from the same deterministic centroids, so a
-    # second pass over the (tiny relative) projection is cheaper than
-    # re-reading the partitioned data tree
-    _dbl(embeddings).withColumn(
-        "list_id", _list_assign_udf(cent)(F.col("embedding"))
-    ).select("vec_id", "list_id").repartitionByRange(
+    # vec_id-sorted sidecar (~12 B/row vs KBs/row for embeddings), read
+    # BACK from the just-written data tree: list_id is a partition
+    # value and vec_id a column-pruned 8-byte read, so this pass never
+    # deserializes an embedding and runs no UDF — strictly cheaper than
+    # re-deriving the assignment (a full matmul over every vector)
+    spark.read.parquet(os.path.join(out_dir, "data")).select(
+        "vec_id", "list_id"
+    ).repartitionByRange(
         max(1, par // 4), "vec_id"
     ).sortWithinPartitions("vec_id").write.mode("overwrite").parquet(
         os.path.join(out_dir, "vecmap")

@@ -364,6 +364,17 @@ def build_index(
     t_start = time.time()
     if tokenizer is None:
         tokenizer = _TOKENIZER
+    # validate env knobs up front, not inside the branch that happens to
+    # read them — a typo'd value must fail every build shape loudly, not
+    # only the shapes that reach that branch
+    if _DL_AGG not in ("auto", "partial", "repartition"):
+        raise ValueError(
+            f"WSE_DL_AGG must be auto|partial|repartition, got {_DL_AGG!r}"
+        )
+    if _DL_JOIN not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(
+            f"WSE_DL_JOIN must be auto|broadcast|shuffle, got {_DL_JOIN!r}"
+        )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     prior = _read_manifest_rows(index_dir) if resume else []
@@ -607,19 +618,25 @@ def build_index(
                     F.col("tf").alias("dl"), "content_sha256",
                 )
             elif postings is not None:
-                dl_agg = _DL_AGG
-                if dl_agg not in ("auto", "partial", "repartition"):
-                    raise ValueError(
-                        "WSE_DL_AGG must be auto|partial|repartition, "
-                        f"got {dl_agg!r}"
-                    )
+                dl_agg = _DL_AGG  # validated at build_index entry
                 par_dl = spark.sparkContext.defaultParallelism
+                # BOTH auto rules below size against the docs actually
+                # in this build pass: on a resumed build `work` (and so
+                # postings and dl) holds only the PENDING shards' docs,
+                # and comparing the full-corpus n_docs against a
+                # pending-shards-only postings count (or the broadcast
+                # cap) would mis-pick the plan — e.g. reject a cheap
+                # broadcast when 1 of 16 shards remains.
+                pending_docs = sum(
+                    max(0, min((s + 1) * shard_size, n_docs) - s * shard_size)
+                    for s in pending
+                )
                 if dl_agg == "auto":
                     # partial agg earns its keep only while it still
                     # SHRINKS the exchange: it emits up to one row per
                     # doc per map partition, so its output is
-                    # ~min(|postings|, P x n_docs) rows. Below a 2x
-                    # reduction the repartition-first plan wins (and
+                    # ~min(|postings|, P x pending_docs) rows. Below a
+                    # 2x reduction the repartition-first plan wins (and
                     # keeps winning at any scale — constant exchange,
                     # per-partition maps shrink with P). |postings| is
                     # read from the blocks-stage Observation, already
@@ -631,7 +648,7 @@ def build_index(
                     if n_post is not None:
                         dl_agg = (
                             "partial"
-                            if 2 * par_dl * n_docs <= n_post
+                            if 2 * par_dl * pending_docs <= n_post
                             else "repartition"
                         )
                     else:
@@ -645,11 +662,13 @@ def build_index(
                 dl = dl_base.groupBy("doc_id").agg(
                     F.sum("tf").cast("long").alias("dl")
                 )
-                dl_join = _DL_JOIN
+                dl_join = _DL_JOIN  # validated at build_index entry
                 if dl_join == "auto":
+                    # dl has one row per doc IN THIS PASS (pending
+                    # shards), not per corpus doc — size against that
                     dl_join = (
                         "broadcast"
-                        if n_docs <= _DL_BROADCAST_MAX_DOCS
+                        if pending_docs <= _DL_BROADCAST_MAX_DOCS
                         else "shuffle"
                     )
                 if dl_join == "broadcast":
