@@ -156,9 +156,18 @@ def simhash(
     Token hash h = md5-derived int; bit b of the fingerprint is 1 iff
     Σ_tokens (2*((h>>b)&1) - 1) > 0 (token multiplicity weighs in).
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens_sql_col(text_col)).alias("tok")
-    ).withColumn("h", _hex_int(F.col("tok")))
+    # explode_outer + not-null filter: a non-outer explode makes the
+    # optimizer infer size(...)>0 below the generate and evaluate the
+    # tokenizer regex TWICE per row (guide §4.4); identical output —
+    # empty docs were dropped by explode, here by the filter
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(tokens_sql_col(text_col)).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+        .withColumn("h", _hex_int(F.col("tok")))
+    )
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
     per_bit = (
         toks.select("doc_id", "h", bit)

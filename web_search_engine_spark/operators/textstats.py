@@ -122,10 +122,13 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     the 32 modular powers are baked in as an array literal.
     """
     pows = F.array(*[F.lit(p) for p in FP_POWS])
+    # posexplode_outer + not-null filter: the non-outer generate gets an
+    # inferred size(...)>0 filter pushed below it, doubling the regex
+    # evaluation (guide §4.4); output identical — empty docs drop either way
     exploded = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens_sql_col(text_col)).alias("i", "tok"),
-    ).select(
+        F.posexplode_outer(tokens_sql_col(text_col)).alias("i", "tok"),
+    ).filter(F.col("tok").isNotNull()).select(
         "doc_id",
         (
             (F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long") % FP_MOD)

@@ -532,9 +532,13 @@ def build_index(
             # postings -> blocks (the shuffle IS the merge); shard derives
             # from doc_id inside build_block_index with the same shard_size.
             if _BUILD_MODE == "fused":
+                # explode_outer + not-null filter: a non-outer explode
+                # makes the optimizer infer size(tokens)>0 below the
+                # generate and re-evaluate the tokenizer per row (guide
+                # §4.4); see operators/postings.build_postings
                 occurrences = toks.select(
-                    "doc_id", F.explode("tokens").alias("term")
-                )
+                    "doc_id", F.explode_outer("tokens").alias("term")
+                ).filter(F.col("term").isNotNull())
                 blocks = build_block_index(
                     occurrences,
                     block_size=block_size,
