@@ -490,7 +490,13 @@ def build_index(
                 # (SUM(tf) per doc == the token count by definition);
                 # persist so the blocks write materializes it and the
                 # dl aggregation reuses it instead of re-tokenizing.
-                postings = build_postings(toks).persist()
+                # cluster_by_doc=False: the blocks exchange re-partitions
+                # on the salted (shard, term-bucket) key right after, and
+                # the dl aggregation has its own measured plan choice
+                # (WSE_DL_AGG) over the narrow (doc_id, tf) projection —
+                # a doc_id exchange of the FULL postings rows here would
+                # be strictly more shuffled bytes
+                postings = build_postings(toks, cluster_by_doc=False).persist()
                 blocks_input = postings
             elif _BUILD_MODE == "mapcombine":
                 blocks_input = fused_mc.filter(
@@ -499,7 +505,8 @@ def build_index(
             elif _BUILD_MODE == "fused":
                 blocks_input = None  # the occurrence stream feeds blocks
             else:
-                blocks_input = build_postings(toks)
+                # cluster_by_doc=False: feeds the salted blocks exchange
+                blocks_input = build_postings(toks, cluster_by_doc=False)
 
             vocab = vocab_handle = None
             if _TERM_DICT == "on" and _BUILD_MODE == "sqlenc":
@@ -601,18 +608,80 @@ def build_index(
                 blocks = blocks.observe(
                     blocks_obs, *_per_shard_observe_exprs(pending, "blocks")
                 )
-            # small parquet row groups for the block table: the serving
-            # directory prunes per ROW GROUP on term min/max, and with
-            # hash-bucketed files a term range spans each bucket's whole
-            # sorted run — 4 MB groups keep the false-positive read per
-            # probe bounded at a few MB instead of a 128 MB default group
-            blocks.write.mode("overwrite").option(
-                "parquet.block.size", str(4 * 1024 * 1024)
-            ).partitionBy("shard").parquet(os.path.join(index_dir, "blocks"))
-            mark("blocks_write")
+            def _write_blocks():
+                # small parquet row groups for the block table: the
+                # serving directory prunes per ROW GROUP on term min/max,
+                # and with hash-bucketed files a term range spans each
+                # bucket's whole sorted run — 4 MB groups keep the
+                # false-positive read per probe bounded at a few MB
+                # instead of a 128 MB default group
+                blocks.write.mode("overwrite").option(
+                    "parquet.block.size", str(4 * 1024 * 1024)
+                ).partitionBy("shard").parquet(
+                    os.path.join(index_dir, "blocks")
+                )
+
+            def _write_docs_meta(dm):
+                # repartition by (shard, doc_id-bucket) before the
+                # partitioned write: plain task-output writes put a file
+                # from every task into every shard dir (tasks x shards
+                # small files; measured 14x slower at 32 cores), while
+                # repartition("shard") alone caps the write stage at
+                # num_shards tasks — fewer than the cores when shards <
+                # cores (the sandbox shape; at 100 TB shards >> cores and
+                # sub collapses to 1). Keys round-robin onto partitions
+                # via murmur3-inverted salts — exact balance, no
+                # balls-in-bins stragglers, O(keys) output files (see
+                # operators/blocks.identity_partition_key).
+                nonlocal docs_obs
+                if use_observe:
+                    docs_obs = Observation("docs_meta_per_shard")
+                    dm = dm.observe(
+                        docs_obs, *_per_shard_observe_exprs(pending, "docs")
+                    )
+                par = spark.sparkContext.defaultParallelism
+                sub = max(1, (4 * par + len(pending) - 1) // max(1, len(pending)))
+                dm.repartition(
+                    par,
+                    identity_partition_key(
+                        F.col("shard"), F.pmod(F.col("doc_id"), F.lit(sub)),
+                        sub, par,
+                    ),
+                ).write.mode("overwrite").partitionBy("shard").parquet(
+                    os.path.join(index_dir, "docs_meta")
+                )
+
+            overlapped = postings is None and fused_mc is None
+            if overlapped:
+                # tokenize-derived dl: docs_meta depends only on the
+                # cached source rows, NOT on the blocks job — submit both
+                # writes concurrently so docs_meta back-fills executor
+                # slots freed by the blocks stage's tail (guide §2.6
+                # "overlap independent jobs"). The shapes that share a
+                # persisted relation (dl_source=postings, mapcombine)
+                # stay sequential: racing two jobs to materialize one
+                # cache would double-compute it.
+                docs_meta = toks.select(
+                    "shard", "doc_id", *key_cols, *meta_cols,
+                    F.size("tokens").cast("long").alias("dl"),
+                    F.sha2(F.col(text_col), 256).alias("content_sha256"),
+                )
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    fa = pool.submit(_write_blocks)
+                    fb = pool.submit(_write_docs_meta, docs_meta)
+                    fa.result()
+                    fb.result()
+                mark("blocks+docs_meta_overlapped")
+            else:
+                _write_blocks()
+                mark("blocks_write")
 
             # one combined doc-level table: stats + lineage + sha invariant
-            if fused_mc is not None:
+            if overlapped:
+                pass  # written above, concurrently with the blocks job
+            elif fused_mc is not None:
                 # sentinel rows already carry dl (=tf), sha256, and the
                 # key/meta columns; shard is a pure projection of doc_id
                 docs_meta = fused_mc.filter(F.col("term").isNull()).select(
@@ -691,38 +760,9 @@ def build_index(
                         "dl", "content_sha256",
                     )
                 )
-            else:
-                docs_meta = toks.select(
-                    "shard", "doc_id", *key_cols, *meta_cols,
-                    F.size("tokens").cast("long").alias("dl"),
-                    F.sha2(F.col(text_col), 256).alias("content_sha256"),
-                )
-            if use_observe:
-                docs_obs = Observation("docs_meta_per_shard")
-                docs_meta = docs_meta.observe(
-                    docs_obs, *_per_shard_observe_exprs(pending, "docs")
-                )
-            # repartition by (shard, doc_id-bucket) before the partitioned
-            # write: plain task-output writes put a file from every task
-            # into every shard dir (tasks x shards small files; measured
-            # 14x slower at 32 cores), while repartition("shard") alone
-            # caps the write stage at num_shards tasks — fewer than the
-            # cores when shards < cores (the sandbox shape; at 100 TB
-            # shards >> cores and sub collapses to 1). Keys round-robin
-            # onto partitions via murmur3-inverted salts — exact balance,
-            # no balls-in-bins stragglers, O(keys) output files (see
-            # operators/blocks.identity_partition_key).
-            par = spark.sparkContext.defaultParallelism
-            sub = max(1, (4 * par + len(pending) - 1) // max(1, len(pending)))
-            docs_meta.repartition(
-                par,
-                identity_partition_key(
-                    F.col("shard"), F.pmod(F.col("doc_id"), F.lit(sub)), sub, par
-                ),
-            ).write.mode("overwrite").partitionBy("shard").parquet(
-                os.path.join(index_dir, "docs_meta")
-            )
-            mark("docs_meta_write")
+            if not overlapped:
+                _write_docs_meta(docs_meta)
+                mark("docs_meta_write")
             if vocab_handle is not None:
                 vocab_handle.unpersist()
             if postings is not None:

@@ -49,12 +49,37 @@ def read_stats(index_dir: str) -> dict:
 
 
 class IndexCatalog:
-    """Read-side handle on a built index."""
+    """Read-side handle on a built index.
+
+    Table handles are memoized per catalog instance: ``spark.read
+    .parquet`` eagerly lists the directory (InMemoryFileIndex), so a
+    serving loop that calls ``blocks()`` per query would re-pay file
+    listing every time — at 100 TB that is a multi-second driver stall
+    per call (guide §6 "file listing"). A catalog therefore behaves
+    like a table-format SNAPSHOT view: it sees the files present when
+    each table is first touched. After appending to the index (e.g.
+    streaming ingest), call ``refresh()`` — or construct a new catalog,
+    which is what build_index returns — to pick up new files.
+    """
 
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
         self.stats = read_stats(index_dir)
+        self._tables: dict[str, DataFrame] = {}
+
+    def refresh(self) -> "IndexCatalog":
+        """Drop memoized table handles + re-read stats.json."""
+        self._tables.clear()
+        self.stats = read_stats(self.index_dir)
+        return self
+
+    def _table(self, name: str) -> DataFrame:
+        df = self._tables.get(name)
+        if df is None:
+            df = self.spark.read.parquet(os.path.join(self.index_dir, name))
+            self._tables[name] = df
+        return df
 
     @property
     def n_docs(self) -> int:
@@ -69,16 +94,16 @@ class IndexCatalog:
         return self.stats["codec"]
 
     def blocks(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "blocks"))
+        return self._table("blocks")
 
     def lexicon(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "lexicon"))
+        return self._table("lexicon")
 
     def docs_meta(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "docs_meta"))
+        return self._table("docs_meta")
 
     def doc_stats(self) -> DataFrame:
         return self.docs_meta().select("doc_id", "dl")
 
     def manifest(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "manifest"))
+        return self._table("manifest")
