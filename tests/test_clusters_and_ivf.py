@@ -84,6 +84,25 @@ def test_connected_components_chain_converges_fast(spark):
     _check_components(spark, 64, [(i, i + 1) for i in range(63)], max_iter=8)
 
 
+def test_connected_components_exhaustion_raises(spark):
+    """max_iter exhaustion must be LOUD (round-6 change): a long chain
+    with max_iter=1 cannot converge, and silently returning half-merged
+    labels would hand a dedup pipeline wrong keepers. Also pins the
+    Observation-based convergence detection: the chg-count rides the
+    per-round checkpoint job, so a converged run (max_iter just large
+    enough) still returns the exact closure."""
+    import pytest
+
+    nodes = spark.createDataFrame([(i,) for i in range(32)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)], "a long, b long"
+    )
+    from web_search_engine_spark.operators.dedup import connected_components
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_iter=1).collect()
+
+
 def test_near_dup_clusters_matches_pairs(spark, sf_dir="/root/testdata/sf0.01"):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = near_dup_clusters(emb, threshold=0.35).collect()

@@ -305,8 +305,17 @@ def connected_components(
     localCheckpoints the (node, lbl) table: lineage stays O(1) and the
     per-round shuffle is keyed on node ids (hash-balanced). Near-dup
     graphs are overwhelmingly tiny star/clique components, so rounds
-    ~= 2-3 in practice; the iteration cap is a documented safety rail.
+    ~= 2-3 in practice; the iteration cap is a safety rail and
+    EXHAUSTING it raises (silently returning half-merged clusters
+    would hand a dedup pipeline wrong keepers).
+
+    A round costs exactly ONE Spark job: the changed-row count rides
+    the checkpoint materialization as an Observation metric (the old
+    label travels the round as a `prev` column), instead of a second
+    join-and-count job re-scanning both label tables per round.
     """
+    from pyspark.sql import Observation
+
     lbl = nodes.select(
         F.col(id_col).cast("long").alias("node"),
         F.col(id_col).cast("long").alias("lbl"),
@@ -318,7 +327,7 @@ def connected_components(
     )
     sym = sym.localCheckpoint(eager=True)
     lbl = lbl.localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # min label among self + neighbors
         neigh = (
             sym.join(lbl, sym.dst == lbl.node)
@@ -327,26 +336,40 @@ def connected_components(
         )
         stepped = (
             lbl.join(neigh, lbl.node == neigh.src, "left")
-            .select("node", F.least("lbl", F.coalesce("nmin", "lbl")).alias("lbl"))
+            .select(
+                "node",
+                F.col("lbl").alias("prev"),
+                F.least("lbl", F.coalesce("nmin", "lbl")).alias("lbl"),
+            )
         )
         # pointer jumping: lbl <- lbl(lbl)
         parent = stepped.select(
             F.col("node").alias("pnode"), F.col("lbl").alias("plbl")
         )
+        obs = Observation(f"cc_round_{it}")
         jumped = (
             stepped.join(parent, stepped.lbl == parent.pnode, "left")
-            .select("node", F.coalesce("plbl", "lbl").alias("lbl"))
+            .select("node", "prev", F.coalesce("plbl", "lbl").alias("lbl"))
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum((F.col("lbl") != F.col("prev")).cast("long")),
+                    F.lit(0),
+                ).alias("n_changed"),
+            )
+            .select("node", "lbl")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(lbl.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
         lbl = jumped
-        if changed == 0:
+        if int(obs.get["n_changed"]) == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds; the label table is still changing — "
+            "raise max_iter (components this deep imply a pathological "
+            "chain graph) rather than accepting half-merged clusters"
+        )
     return lbl.select("node", F.col("lbl").alias("cluster_id"))
 
 

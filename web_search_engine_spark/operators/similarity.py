@@ -290,6 +290,10 @@ def _ivf_centroids(
         .select("embedding")
         .collect()
     )
+    if not rows:
+        # empty corpus: no geometry to learn — zero-vector centroids let
+        # build_ivf commit a clean empty index (assignments never run)
+        return np.zeros((nlist, 1), dtype=np.float64)
     x = np.array([r["embedding"] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     step = max(1, len(x) // nlist)
@@ -367,20 +371,36 @@ def build_ivf(
     )
     par = spark.sparkContext.defaultParallelism
     sub = max(1, (4 * par + nlist - 1) // nlist)
+    # STATIC overwrite, explicitly: build_index / streaming set the
+    # session-wide partitionOverwriteMode to "dynamic" and a dynamic
+    # overwrite of a REBUILD into an existing out_dir would leave stale
+    # list_id partitions behind — which the vecmap read-back below would
+    # then faithfully index (duplicate vec_id rows pointing at deleted
+    # lists; ADVICE r5). The writer-level option overrides the session
+    # conf, so a rebuild always replaces the whole data tree.
     e.repartition(
         par,
         identity_partition_key(
             F.col("list_id"), F.pmod(F.col("vec_id"), F.lit(sub)), sub, par
         ),
-    ).write.mode("overwrite").partitionBy("list_id").parquet(
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("list_id").parquet(
         os.path.join(out_dir, "data")
     )
     # vec_id-sorted sidecar (~12 B/row vs KBs/row for embeddings), read
     # BACK from the just-written data tree: list_id is a partition
     # value and vec_id a column-pruned 8-byte read, so this pass never
     # deserializes an embedding and runs no UDF — strictly cheaper than
-    # re-deriving the assignment (a full matmul over every vector)
-    spark.read.parquet(os.path.join(out_dir, "data")).select(
+    # re-deriving the assignment (a full matmul over every vector).
+    # Explicit schema: an EMPTY embeddings input writes no parquet files
+    # at all, and a schema-less read of the bare directory would raise
+    # 'Unable to infer schema' (ADVICE r5) — with the schema pinned the
+    # read yields an empty frame and the build commits a clean empty
+    # index instead of crashing.
+    spark.read.schema(
+        "vec_id bigint, embedding array<double>, list_id int"
+    ).parquet(os.path.join(out_dir, "data")).select(
         "vec_id", "list_id"
     ).repartitionByRange(
         max(1, par // 4), "vec_id"
@@ -427,8 +447,11 @@ def _probe_scan(spark, ivf_dir: str, lists: list[int]) -> DataFrame:
         if _fs_exists(spark, p := os.path.join(data_dir, f"list_id={c}"))
     ]
     if not paths:
+        # explicit schema: an empty index's data dir holds no parquet
+        # files to infer from (same empty-input contract as build_ivf)
         return (
-            spark.read.option("basePath", data_dir)
+            spark.read.schema("vec_id bigint, embedding array<double>, list_id int")
+            .option("basePath", data_dir)
             .parquet(data_dir)
             .limit(0)
         )

@@ -438,6 +438,16 @@ def build_index(
             use_observe = len(pending) <= OBSERVE_MAX_SHARDS
             docs_obs = blocks_obs = None
 
+            # docs actually tokenized in THIS pass: every auto rule below
+            # (dl_source, dl_agg, dl_join) sizes against the pending
+            # shards' docs, not the full corpus — a resumed build with
+            # one small shard left must not pick plans calibrated for
+            # full-corpus passes (ADVICE r5)
+            pending_docs = sum(
+                max(0, min((s + 1) * shard_size, n_docs) - s * shard_size)
+                for s in pending
+            )
+
             dl_source = _DL_SOURCE
             if dl_source == "auto":
                 # postings above 200k docs: round 4 RE-TESTED this rule
@@ -451,7 +461,7 @@ def build_index(
                 # the round-3 rule; both shapes stay env-forceable and
                 # differentially tested.
                 dl_source = (
-                    "postings" if n_docs >= _DL_AUTO_MIN_DOCS else "tokenize"
+                    "postings" if pending_docs >= _DL_AUTO_MIN_DOCS else "tokenize"
                 )
             if _BUILD_MODE in ("fused", "mapcombine") and _DL_SOURCE == "postings":
                 # honor an explicitly pinned dl source loudly (the same
@@ -693,17 +703,13 @@ def build_index(
             elif postings is not None:
                 dl_agg = _DL_AGG  # validated at build_index entry
                 par_dl = spark.sparkContext.defaultParallelism
-                # BOTH auto rules below size against the docs actually
-                # in this build pass: on a resumed build `work` (and so
+                # BOTH auto rules below size against pending_docs
+                # (computed above): on a resumed build `work` (and so
                 # postings and dl) holds only the PENDING shards' docs,
                 # and comparing the full-corpus n_docs against a
                 # pending-shards-only postings count (or the broadcast
                 # cap) would mis-pick the plan — e.g. reject a cheap
                 # broadcast when 1 of 16 shards remains.
-                pending_docs = sum(
-                    max(0, min((s + 1) * shard_size, n_docs) - s * shard_size)
-                    for s in pending
-                )
                 if dl_agg == "auto":
                     # partial agg earns its keep only while it still
                     # SHRINKS the exchange: it emits up to one row per
