@@ -661,7 +661,10 @@ def build_index(
                     os.path.join(index_dir, "docs_meta")
                 )
 
-            overlapped = postings is None and fused_mc is None
+            overlapped = (
+                postings is None and fused_mc is None
+                and os.environ.get("WSE_OVERLAP_WRITES", "1") != "0"
+            )
             if overlapped:
                 # tokenize-derived dl: docs_meta depends only on the
                 # cached source rows, NOT on the blocks job — submit both

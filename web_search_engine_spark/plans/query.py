@@ -148,11 +148,23 @@ def score_queries(
     """Batch BM25 top-k: -> (query_id, rank, doc_id, score).
 
     Per-query window top-k — parallel across queries; no global sort.
+
+    Ranks on the 6-decimal ROUNDED score (tie doc_id asc) — the same
+    determinism contract every driver-gated query pins ("ranked on the
+    rounded value so the float hash-compare is deterministic"): floating
+    sums associate differently between physical plans (relational cache
+    vs decoded blocks, partial-agg partition order), so ranking on the
+    raw double makes top-k membership at a tie boundary path-dependent
+    — at 250k docs the relational and block paths genuinely returned
+    the same rounded scores with different rank<->doc assignments. The
+    returned ``score`` column stays raw.
     """
     per_doc = score_per_doc(
         postings, doc_stats, n_docs, avgdl, queries, mode, k1, b, lexicon
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
     return (
         per_doc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
