@@ -355,6 +355,46 @@ def decode_term_postings_fast(rows: list, codec: str) -> tuple[np.ndarray, np.nd
     return docids, tfs
 
 
+def _topk_by_score(union, scores, topk):
+    """(score desc, doc_id asc) top-k rows of (union, scores) as the
+    kernels' return list. Above a small size an argpartition pass finds
+    the k-th score, and only the >= threshold subset (boundary ties
+    included) is lexsorted — identical output to the full lexsort, but
+    O(n + t log t) instead of O(n log n) (measured 30 ms -> ~2 ms per
+    hot query over a 240k-doc union)."""
+    n = len(union)
+    if n == 0:
+        return []
+    if n > max(64, 8 * topk):
+        kth = min(topk, n) - 1
+        part = np.argpartition(-scores, kth)[: kth + 1]
+        thr = scores[part].min()
+        cand = np.flatnonzero(scores >= thr)
+        order = cand[np.lexsort((union[cand], -scores[cand]))][:topk]
+    else:
+        # lexsort: last key is primary
+        order = np.lexsort((union, -scores))[:topk]
+    return [(int(union[i]), float(scores[i])) for i in order]
+
+
+def _dense_dl_array(dl_lookup, term_entries):
+    """The dense doc_id->dl float64 array behind dl_lookup when one
+    exists AND covers every posting id, else None. Enables the
+    scatter-add scoring path (no union/searchsorted)."""
+    arr = (
+        dl_lookup
+        if isinstance(dl_lookup, np.ndarray)
+        else getattr(dl_lookup, "arr", None)
+    )
+    if arr is None or not isinstance(arr, np.ndarray):
+        return None
+    m = len(arr)
+    for _idf, _w, ids, _tfs in term_entries:
+        if len(ids) and int(ids[-1]) >= m:  # ids ascending by decode order
+            return None
+    return arr
+
+
 def taat_or(term_entries, dl_lookup, avgdl, topk, k1=BM25_K1, b=BM25_B):
     """Vectorized term-at-a-time OR scoring — the reference's TAAT
     ranker (HW2/engine/ranker.py:52-74) as numpy array passes.
@@ -364,9 +404,29 @@ def taat_or(term_entries, dl_lookup, avgdl, topk, k1=BM25_K1, b=BM25_B):
     additions happen in the same (sorted-term) order the tied-cursor sum
     uses, and each term score is computed with the exact expression of
     BlockCursor.score_current.
+
+    With a dense dl store the accumulator is indexed directly by doc_id
+    (scatter-add over the id space): no candidate union, no per-term
+    searchsorted — the same additions in the same order land at
+    arr[doc_id] instead of arr[searchsorted(union, doc_id)], so scores
+    are bit-identical (kernel differential tests assert it). Measured
+    80 -> ~25 ms per hot query at a 250k-doc index.
     """
     if not term_entries:
         return []
+    dense = _dense_dl_array(dl_lookup, term_entries)
+    if dense is not None:
+        scores = np.zeros(len(dense), dtype=np.float64)
+        for idf, w, ids, tfs in term_entries:
+            tf = tfs.astype(np.float64)
+            denom = tf + k1 * (1.0 - b + b * (dense[ids] / avgdl))
+            scores[ids] += w * (idf * (tf * (k1 + 1.0)) / denom)
+        # every contribution is > 0 (idf > 0, tf >= 1, weight >= 1), so
+        # matched docs are exactly the nonzero slots
+        cand = np.flatnonzero(scores)
+        dls = dense[cand]
+        live = dls > 0.0  # dl=0 docs are never scored (daat_ranker.py:121-123)
+        return _topk_by_score(cand[live], scores[cand][live], topk)
     union = np.unique(np.concatenate([ids for _, _, ids, _ in term_entries]))
     if isinstance(dl_lookup, np.ndarray):
         dls = dl_lookup[union]
@@ -381,12 +441,7 @@ def taat_or(term_entries, dl_lookup, avgdl, topk, k1=BM25_K1, b=BM25_B):
         denom = tf + k1 * (1.0 - b + b * (dls[pos] / avgdl))
         scores[pos] += w * (idf * (tf * (k1 + 1.0)) / denom)
     live = dls > 0.0  # dl=0 docs are never scored (daat_ranker.py:121-123)
-    union, scores = union[live], scores[live]
-    if not len(union):
-        return []
-    # (score desc, doc_id asc) — lexsort: last key is primary
-    order = np.lexsort((union, -scores))[:topk]
-    return [(int(union[i]), float(scores[i])) for i in order]
+    return _topk_by_score(union[live], scores[live], topk)
 
 
 _EPOCH_RANGES = 2048  # block ranges scored per pruning epoch
@@ -483,12 +538,9 @@ def blockmax_taat_or(
                 denom = tf + k1 * (1.0 - b + b * (dls[pos] / avgdl))
                 scores[pos] += w * (idf * (tf * (k1 + 1.0)) / denom)
             ok = dls > 0.0
-            union, scores = union[ok], scores[ok]
-            if len(union):
-                # only the epoch's own top-k can enter the global heap
-                order = np.lexsort((union, -scores))[:topk]
-                for i in order:
-                    top.offer(float(scores[i]), int(union[i]))
+            # only the epoch's own top-k can enter the global heap
+            for doc, sc in _topk_by_score(union[ok], scores[ok], topk):
+                top.offer(sc, doc)
         r = int(sel[-1]) + 1
     return top.result()
 
@@ -501,6 +553,21 @@ def taat_and(term_entries, dl_lookup, avgdl, topk, k1=BM25_K1, b=BM25_B):
     sorted-term addition order, same float64 expression)."""
     if not term_entries:
         return []
+    dense = _dense_dl_array(dl_lookup, term_entries)
+    if dense is not None:
+        # scatter-add twin of the union path (see taat_or): identical
+        # additions in identical order, indexed by doc_id directly
+        scores = np.zeros(len(dense), dtype=np.float64)
+        nmatch = np.zeros(len(dense), dtype=np.int64)
+        for idf, w, ids, tfs in term_entries:
+            tf = tfs.astype(np.float64)
+            denom = tf + k1 * (1.0 - b + b * (dense[ids] / avgdl))
+            scores[ids] += w * (idf * (tf * (k1 + 1.0)) / denom)
+            nmatch[ids] += 1
+        cand = np.flatnonzero(nmatch == len(term_entries))
+        dls = dense[cand]
+        live = dls > 0.0
+        return _topk_by_score(cand[live], scores[cand][live], topk)
     union = np.unique(np.concatenate([ids for _, _, ids, _ in term_entries]))
     if isinstance(dl_lookup, np.ndarray):
         dls = dl_lookup[union]
@@ -517,11 +584,7 @@ def taat_and(term_entries, dl_lookup, avgdl, topk, k1=BM25_K1, b=BM25_B):
         scores[pos] += w * (idf * (tf * (k1 + 1.0)) / denom)
         nmatch[pos] += 1
     live = (dls > 0.0) & (nmatch == len(term_entries))
-    union, scores = union[live], scores[live]
-    if not len(union):
-        return []
-    order = np.lexsort((union, -scores))[:topk]
-    return [(int(union[i]), float(scores[i])) for i in order]
+    return _topk_by_score(union[live], scores[live], topk)
 
 
 def intersect_and(term_entries, dl_lookup, avgdl, topk, k1=BM25_K1, b=BM25_B):
@@ -567,11 +630,7 @@ def intersect_and(term_entries, dl_lookup, avgdl, topk, k1=BM25_K1, b=BM25_B):
         denom = tf + k1 * (1.0 - b + b * (dls / avgdl))
         scores += w * (idf * (tf * (k1 + 1.0)) / denom)
     live = dls > 0.0
-    inter, scores = inter[live], scores[live]
-    if not len(inter):
-        return []
-    order = np.lexsort((inter, -scores))[:topk]
-    return [(int(inter[i]), float(scores[i])) for i in order]
+    return _topk_by_score(inter[live], scores[live], topk)
 
 
 def search_blocks(
