@@ -99,7 +99,7 @@ def test_connected_components_exhaustion_raises(spark):
     )
     from web_search_engine_spark.operators.dedup import connected_components
 
-    with pytest.raises(RuntimeError, match="did not converge"):
+    with pytest.raises(RuntimeError, match="no zero-change round"):
         connected_components(edges, nodes, max_iter=1).collect()
 
 

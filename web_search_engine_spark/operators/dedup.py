@@ -207,13 +207,20 @@ def simhash_chunks(
     n_chunks = min(max_hamming + 1, bits)
     width = bits // n_chunks
     last_width = bits - width * (n_chunks - 1)
+
+    def _mask(w: int) -> str:
+        # a full-width (64-bit) chunk's mask is all ones, which is -1 in
+        # two's complement — (1<<64)-1 would overflow Spark's signed
+        # long literal (max_hamming=0 exact-match banding hits this)
+        return "-1L" if w >= 64 else f"{(1 << w) - 1}L"
+
     chunk = F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("ci")
     return sim.select("doc_id", "simhash", chunk).withColumn(
         "cv",
         F.expr(
             f"shiftright(simhash, ci * {width}) & "
-            f"(CASE WHEN ci = {n_chunks - 1} THEN {(1 << last_width) - 1}L "
-            f"ELSE {(1 << width) - 1}L END)"
+            f"(CASE WHEN ci = {n_chunks - 1} THEN {_mask(last_width)} "
+            f"ELSE {_mask(width)} END)"
         ),
     )
 
@@ -405,10 +412,12 @@ def connected_components(
             break
     else:
         raise RuntimeError(
-            f"connected_components did not converge within max_iter="
-            f"{max_iter} rounds; the label table is still changing — "
-            "raise max_iter (components this deep imply a pathological "
-            "chain graph) rather than accepting half-merged clusters"
+            f"connected_components observed no zero-change round within "
+            f"max_iter={max_iter} rounds — convergence is only PROVEN by "
+            "a round that changes nothing, so budget max_iter at least "
+            "one round past the expected O(log diameter); raising is "
+            "deliberate: silently returning possibly-half-merged labels "
+            "would hand a dedup pipeline wrong keepers"
         )
     return lbl.select("node", F.col("lbl").alias("cluster_id"))
 

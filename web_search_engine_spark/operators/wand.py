@@ -363,7 +363,7 @@ def _topk_by_score(union, scores, topk):
     O(n + t log t) instead of O(n log n) (measured 30 ms -> ~2 ms per
     hot query over a 240k-doc union)."""
     n = len(union)
-    if n == 0:
+    if n == 0 or topk <= 0:
         return []
     if n > max(64, 8 * topk):
         kth = min(topk, n) - 1
@@ -379,8 +379,13 @@ def _topk_by_score(union, scores, topk):
 
 def _dense_dl_array(dl_lookup, term_entries):
     """The dense doc_id->dl float64 array behind dl_lookup when one
-    exists AND covers every posting id, else None. Enables the
-    scatter-add scoring path (no union/searchsorted)."""
+    exists, covers every posting id, AND the query's posting volume
+    justifies O(id-space) accumulators, else None. The scatter-add path
+    allocates and scans len(arr) slots per query — a win when the
+    candidate set is a meaningful fraction of the corpus (hot queries),
+    a regression for a rare 100-posting query on an 8.84M-doc index
+    (70+ MB of zeros and a full-array flatnonzero for microseconds of
+    real work) — so it is gated on total postings >= len(arr) / 8."""
     arr = (
         dl_lookup
         if isinstance(dl_lookup, np.ndarray)
@@ -389,9 +394,13 @@ def _dense_dl_array(dl_lookup, term_entries):
     if arr is None or not isinstance(arr, np.ndarray):
         return None
     m = len(arr)
+    total = 0
     for _idf, _w, ids, _tfs in term_entries:
         if len(ids) and int(ids[-1]) >= m:  # ids ascending by decode order
             return None
+        total += len(ids)
+    if 8 * total < m:
+        return None  # selective query: the union path is cheaper
     return arr
 
 

@@ -2,6 +2,17 @@
 
 Two paths, one semantics (tested rank-identical):
 
+Tie policy nuance (round 6): the batch paths (score_queries and
+therefore batch_score) rank on the 6-decimal ROUNDED score with the
+doc_id tie-break — required for cross-plan determinism, since float
+sums associate differently between physical plans. The interactive
+kernels rank on the raw double (unchanged since round 5; the kernel
+differential tests pin them against each other and the oracle). The
+two policies order identically unless two docs' raw scores differ by
+less than 5e-7 AND straddle the top-k boundary; every driver-gated
+query re-ranks on the rounded score itself, so the gates are
+insensitive to the difference.
+
   - SearchEngine: interactive single-query path. Mirrors the reference's
     serving shape (lexicon + doc_lengths resident in memory, postings
     read per query: HW2/engine/searcher.py:34-50) — the lexicon and doc

@@ -204,8 +204,12 @@ def append_batch(
         )
         sum_dl = int(obs.get["sum_dl"])
 
+        # cluster_by_doc=False: the blocks exchange re-partitions on the
+        # salted (shard, term-bucket) key immediately — a doc_id exchange
+        # here would be pure per-batch waste (same reasoning as
+        # plans/build_index.py's call sites)
         blocks = build_block_index(
-            build_postings(toks),
+            build_postings(toks, cluster_by_doc=False),
             block_size=block_size, codec=codec, shard_size=shard_size,
             shards_hint=len(new_shards),
         )
