@@ -118,3 +118,56 @@ def test_sha256_invariant(spark, built):
         a.alias("a").join(b.alias("b"), "doc_id").filter(F.col("a.h") != F.col("b.h"))
     )
     assert diff.count() == 0
+
+
+def test_bm25_expr_bit_identical(spark):
+    """The single-string SQL score expression (driver-latency fix, round
+    6) must be BIT-identical to the Column-tree formulation — same
+    operator structure and association, so every float64 intermediate
+    matches exactly."""
+    import struct
+
+    from web_search_engine_spark.functions.bm25 import (
+        bm25_term_score_col,
+        bm25_weighted_score_expr,
+    )
+
+    grid = spark.range(1, 1500).select(
+        (F.col("id") % 37 + 1).cast("long").alias("tf"),
+        (F.col("id") % 499 + 1).cast("long").alias("df"),
+        (F.col("id") % 1000).cast("long").alias("dl"),
+        (F.col("id") % 5 + 1).cast("long").alias("weight"),
+    )
+    n_docs, avgdl = 123457, 217.34567890123
+    old = grid.withColumn(
+        "s",
+        F.col("weight")
+        * bm25_term_score_col(
+            F.col("tf"), F.col("df"), F.col("dl"), n_docs, avgdl, 1.2, 0.75
+        ),
+    ).orderBy("tf", "df", "dl", "weight")
+    new = grid.withColumn(
+        "s", F.expr(bm25_weighted_score_expr(n_docs, avgdl, 1.2, 0.75))
+    ).orderBy("tf", "df", "dl", "weight")
+    a = [r["s"] for r in old.collect()]
+    b = [r["s"] for r in new.collect()]
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert struct.pack("<d", x) == struct.pack("<d", y)
+
+
+def test_terms_in_expr_matches_isin(spark):
+    """The one-RPC `col IN (...)` string must filter identically to
+    Column.isin, including values needing escaping (quotes, backslashes,
+    non-ASCII, LIKE metacharacters, tabs)."""
+    from web_search_engine_spark.plans.query import _terms_in_expr
+
+    nasty = [
+        "o'brien", "back\\slash", "uniécode", "per%cent",
+        "tab\tchar", 'quo"te', "plain", "semi;colon", "--dash",
+    ]
+    df = spark.createDataFrame([(t,) for t in nasty + ["absent", None]], "term string")
+    sel = nasty
+    got_isin = sorted(r["term"] for r in df.filter(F.col("term").isin(sel)).collect())
+    got_expr = sorted(r["term"] for r in df.filter(_terms_in_expr("term", sel)).collect())
+    assert got_isin == got_expr == sorted(nasty)

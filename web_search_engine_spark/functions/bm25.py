@@ -24,6 +24,43 @@ def bm25_idf_col(n_docs, df_col: Column) -> Column:
     return F.log((n - d + F.lit(0.5)) / (d + F.lit(0.5)) + F.lit(1.0))
 
 
+def bm25_weighted_score_expr(
+    n_docs,
+    avgdl,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    tf: str = "tf",
+    df: str = "df",
+    dl: str = "dl",
+    weight: str = "weight",
+) -> str:
+    """``weight * bm25_term_score`` as ONE SQL expression string.
+
+    Semantically identical to ``weight_col * bm25_term_score_col(...)``
+    — the parsed tree has the same operator structure and association,
+    so every float64 intermediate is bit-identical (pinned by
+    tests/test_milestone1.py::test_bm25_expr_bit_identical). The point
+    is driver latency: building the equivalent Column tree costs ~45 ms
+    of py4j round-trips PER QUERY CALL (one RPC per operator/literal);
+    F.expr ships one string. Scalar literals are embedded via repr()
+    (shortest round-trip form — Double.parseDouble restores the exact
+    bits) with the D suffix so they parse as DOUBLE, never DECIMAL.
+    """
+    n = repr(float(n_docs))
+    avg = repr(float(avgdl))
+    k1r = repr(float(k1))
+    k1p1 = repr(float(k1) + 1.0)
+    omb = repr(1.0 - float(b))
+    br = repr(float(b))
+    return (
+        f"{weight} * (ln(({n}D - CAST({df} AS DOUBLE) + 0.5D)"
+        f" / (CAST({df} AS DOUBLE) + 0.5D) + 1.0D)"
+        f" * (CAST({tf} AS DOUBLE) * {k1p1}D)"
+        f" / (CAST({tf} AS DOUBLE)"
+        f" + {k1r}D * ({omb}D + {br}D * CAST({dl} AS DOUBLE) / {avg}D)))"
+    )
+
+
 def bm25_term_score_col(
     tf_col: Column,
     df_col: Column,

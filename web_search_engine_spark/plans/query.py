@@ -35,8 +35,24 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import BM25_B, BM25_K1, DEFAULT_TOPK
-from ..functions.bm25 import bm25_term_score_col
+from ..functions.bm25 import bm25_weighted_score_expr
 from ..functions.tokenizer import tokenize_query
+
+
+def _terms_in_expr(col: str, terms: list[str]):
+    """``col IN ('a','b',...)`` as ONE parsed expression.
+
+    Equivalent to ``F.col(col).isin(terms)`` (same Catalyst In node,
+    same parquet pushdown — differentially tested incl. quotes,
+    backslashes and non-ASCII) but a single py4j round-trip instead of
+    one literal-construction RPC per term (~19 ms per isin call at a
+    14-term query batch). Values are escaped for Spark's default
+    backslash-escaped string literals.
+    """
+    def q(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    return F.expr(f"{col} IN ({','.join(q(t) for t in terms)})")
 
 
 def probe_lexicon(lexicon: DataFrame, terms: list[str]) -> dict[str, int]:
@@ -47,7 +63,7 @@ def probe_lexicon(lexicon: DataFrame, terms: list[str]) -> dict[str, int]:
     """
     if not terms:
         return {}
-    rows = lexicon.filter(F.col("term").isin(list(set(terms)))).collect()
+    rows = lexicon.filter(_terms_in_expr("term", sorted(set(terms)))).collect()
     return {r["term"]: r["df"] for r in rows}
 
 
@@ -66,11 +82,23 @@ def score_per_doc(
     k1: float = BM25_K1,
     b: float = BM25_B,
     lexicon: DataFrame | None = None,
+    term_dfs: dict[str, int] | None = None,
+    pre_cluster_by_query: bool = False,
 ) -> DataFrame:
     """Un-ranked per-doc BM25 -> (query_id, doc_id, score).
 
     ``lexicon`` (term, df) is probed driver-side; when None, df for the
     query terms is computed once from postings (still a single tiny job).
+    ``term_dfs`` supplies the same {term: df} mapping directly (only
+    PRESENT terms) and skips the probe job — used by batch_score, whose
+    lexicon is an on-disk parquet table the driver can read without a
+    Spark job. ``pre_cluster_by_query=True`` repartitions the scored
+    term rows by query_id BEFORE the aggregation, so the per-doc
+    groupBy (hash(query_id) clusters its superset key) AND the top-k
+    window both satisfy from ONE exchange — right when the input has no
+    reusable partitioning (the decoded block path: 2 exchanges -> 1);
+    wrong for the doc_id-clustered relational cache, whose aggregation
+    is already exchange-free (keep the default there).
     """
     spark = postings.sparkSession
 
@@ -83,12 +111,14 @@ def score_per_doc(
     if not weights:
         return spark.createDataFrame([], "query_id string, doc_id long, score double")
 
-    if lexicon is not None:
+    if term_dfs is not None:
+        dfs = term_dfs
+    elif lexicon is not None:
         dfs = probe_lexicon(lexicon, sorted(all_terms))
     else:
         dfs = {
             r["term"]: r["df"]
-            for r in postings.filter(F.col("term").isin(sorted(all_terms)))
+            for r in postings.filter(_terms_in_expr("term", sorted(all_terms)))
             .groupBy("term")
             .agg(F.count("*").alias("df"))
             .collect()
@@ -112,17 +142,16 @@ def score_per_doc(
     present_terms = sorted({t for _, t, _, _, _ in rows})
 
     scored_terms = (
-        postings.filter(F.col("term").isin(present_terms))  # pushdown prune
+        postings.filter(_terms_in_expr("term", present_terms))  # pushdown prune
         .join(F.broadcast(qterms), "term")
         .join(doc_stats, "doc_id")
         .withColumn(
             "term_score",
-            F.col("weight")
-            * bm25_term_score_col(
-                F.col("tf"), F.col("df"), F.col("dl"), n_docs, avgdl, k1, b
-            ),
+            F.expr(bm25_weighted_score_expr(n_docs, avgdl, k1, b)),
         )
     )
+    if pre_cluster_by_query:
+        scored_terms = scored_terms.repartition(F.col("query_id"))
     per_doc = scored_terms.groupBy("query_id", "doc_id").agg(
         F.sum("term_score").alias("score"),
         F.count("*").cast("long").alias("n_matched"),
@@ -144,6 +173,8 @@ def score_queries(
     k1: float = BM25_K1,
     b: float = BM25_B,
     lexicon: DataFrame | None = None,
+    term_dfs: dict[str, int] | None = None,
+    pre_cluster_by_query: bool = False,
 ) -> DataFrame:
     """Batch BM25 top-k: -> (query_id, rank, doc_id, score).
 
@@ -160,7 +191,8 @@ def score_queries(
     returned ``score`` column stays raw.
     """
     per_doc = score_per_doc(
-        postings, doc_stats, n_docs, avgdl, queries, mode, k1, b, lexicon
+        postings, doc_stats, n_docs, avgdl, queries, mode, k1, b, lexicon,
+        term_dfs=term_dfs, pre_cluster_by_query=pre_cluster_by_query,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("score", 6)), F.asc("doc_id")
@@ -202,7 +234,7 @@ def boolean_search(postings: DataFrame, query: str, mode: str = "AND") -> DataFr
     terms = sorted(set(tokenize_query(query)))
     if not terms:
         return spark.createDataFrame([], "doc_id long")
-    hits = postings.filter(F.col("term").isin(terms)).select("term", "doc_id").distinct()
+    hits = postings.filter(_terms_in_expr("term", terms)).select("term", "doc_id").distinct()
     if mode.upper() == "OR":
         return hits.select("doc_id").distinct()
     # AND gate: |distinct PRESENT terms| rides the same plan as a

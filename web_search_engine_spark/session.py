@@ -74,6 +74,14 @@ def get_spark(
         # threads); raise via SPARK_GRAFT_DRIVER_MEM for huge inputs.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4's DataFrame-debugging wrapper captures a Python call
+        # site around EVERY DataFrame/Column API call (a conf-get RPC, a
+        # stack walk, and a JVM origin set+clear — measured ~3.9 ms per
+        # wrapped op, ~130 ms per fresh query construct and more across
+        # the build's hundreds of ops). Driver-side overhead only; error
+        # messages merely lose the Python call-site line. Re-enable via
+        # extra_conf when debugging plan construction.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
