@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from ..config import BLOCK_SIZE, CODEC_VARBYTE
 from ..operators.blocks import (
+    _PART_MULT,
     build_block_index,
     build_block_index_sql,
     identity_partition_key,
@@ -176,6 +177,16 @@ _DL_BROADCAST_MAX_DOCS = int(
 #                 pending shards) wide parallelism implies the
 #                 repartition plan.
 _DL_AGG = os.environ.get("WSE_DL_AGG", "auto")
+
+# encode/write task sizing: ~this many docs' worth of postings per
+# blocks-encode or docs_meta-write task. The task count is derived from
+# the docs actually tokenized in THIS pass (scale-adaptive, guide §2):
+# floor = one task per pending shard (the partitioned writes key on
+# shard), cap = the session's parallelism — at corpus scale the cap
+# binds and the plan is unchanged; at tiny scale this collapses 32
+# near-empty tasks (and their per-file open/commit overhead: ~128
+# output files for 5k docs) into a handful.
+_DOCS_PER_WRITE_TASK = int(os.environ.get("WSE_DOCS_PER_WRITE_TASK", "1000"))
 
 
 def _action_timer():
@@ -448,6 +459,16 @@ def build_index(
                 for s in pending
             )
 
+            # see _DOCS_PER_WRITE_TASK: encode/write parallelism derived
+            # from this pass's size, capped at the session parallelism
+            par_pass = min(
+                spark.sparkContext.defaultParallelism,
+                max(
+                    len(pending),
+                    -(-pending_docs // max(1, _DOCS_PER_WRITE_TASK)),
+                ),
+            )
+
             dl_source = _DL_SOURCE
             if dl_source == "auto":
                 # postings above 200k docs: round 4 RE-TESTED this rule
@@ -561,6 +582,7 @@ def build_index(
                     block_size=block_size,
                     codec=codec,
                     shard_size=shard_size,
+                    num_partitions=par_pass * _PART_MULT,
                     shards_hint=len(pending),
                     from_occurrences=True,
                 )
@@ -573,6 +595,7 @@ def build_index(
                     block_size=block_size,
                     codec=codec,
                     shard_size=shard_size,
+                    num_partitions=par_pass * _PART_MULT,
                     shards_hint=len(pending),
                     term_col="term_id",
                 ).join(F.broadcast(vocab), "term_id").select(
@@ -587,7 +610,7 @@ def build_index(
                 # BLOCK rows (index-sized, ~10x smaller than postings),
                 # and the within-partition sort restores the term
                 # clustering the 4 MB row-group pruning relies on.
-                par_b = spark.sparkContext.defaultParallelism
+                par_b = par_pass
                 sub_b = max(
                     1, (4 * par_b + len(pending) - 1) // max(1, len(pending))
                 )
@@ -611,6 +634,7 @@ def build_index(
                     block_size=block_size,
                     codec=codec,
                     shard_size=shard_size,
+                    num_partitions=par_pass * _PART_MULT,
                     shards_hint=len(pending),
                 )
             if use_observe:
@@ -649,7 +673,7 @@ def build_index(
                     dm = dm.observe(
                         docs_obs, *_per_shard_observe_exprs(pending, "docs")
                     )
-                par = spark.sparkContext.defaultParallelism
+                par = par_pass
                 sub = max(1, (4 * par + len(pending) - 1) // max(1, len(pending)))
                 dm.repartition(
                     par,
