@@ -778,3 +778,28 @@ def test_fast_term_decode_matches_per_block(spark, index_dir):
         assert np.array_equal(want[1], got[1]), term
         n_multi += len({t[0] for t in rows}) > 1
     assert n_multi >= 5  # the corpus must exercise multi-shard chains
+
+
+def test_lexicon_driver_merge_matches_spark(spark, tmp_path, monkeypatch):
+    """Small-delta lexicon merges run driver-side via pyarrow (round 6);
+    the table must be row-identical to the Spark aggregation on BOTH the
+    full-rebuild and the additive-append paths."""
+    import web_search_engine_spark.plans.build_index as B
+    from web_search_engine_spark.streaming.incremental import append_batch
+
+    full = corpus_df(spark, n_docs=200, seed=13).cache()
+    first = full.limit(120)
+    rest = full.subtract(first)
+
+    def build_and_append(d):
+        B.build_index(spark, first, d, num_shards=2)
+        append_batch(spark, rest, d, batch_id=0)
+        return {
+            r["term"]: (r["df"], r["nblocks"], r["max_tf"])
+            for r in spark.read.parquet(os.path.join(d, "lexicon")).collect()
+        }
+
+    drv = build_and_append(str(tmp_path / "driver_path"))
+    monkeypatch.setattr(B, "_LEXICON_DRIVER_MAX_BLOCKS", -1)  # force Spark
+    spk = build_and_append(str(tmp_path / "spark_path"))
+    assert drv == spk and len(drv) > 0

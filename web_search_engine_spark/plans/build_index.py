@@ -254,6 +254,109 @@ def _append_manifest_rows(index_dir: str, rows: list[dict]) -> None:
     pq.write_table(tbl, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"))
 
 
+# driver-side lexicon merge threshold: when the delta's block-row count
+# (from parquet FOOTERS only — no payload read) is at or below this, the
+# merge aggregates driver-side via pyarrow instead of running a Spark
+# job (~0.35 s of scan/agg/write job latency at bench scale for a
+# few-hundred-row aggregate). Above it — the corpus-scale case — the
+# Spark path runs unchanged. File-count short-circuit: past
+# _LEXICON_DRIVER_MAX_FILES footers the footer census itself is no
+# longer cheap, so skip straight to Spark.
+_LEXICON_DRIVER_MAX_BLOCKS = int(
+    os.environ.get("WSE_LEXICON_DRIVER_MAX_BLOCKS", str(262_144))
+)
+_LEXICON_DRIVER_MAX_FILES = 256
+
+
+def _lexicon_delta_files(
+    blocks_dir: str, new_shards: list[int] | None
+) -> list[str] | None:
+    """Block data files the merge must read, or None when the layout is
+    not a plain local shard=N/ tree (fall back to the Spark reader)."""
+    if not os.path.isdir(blocks_dir):
+        return None
+    out: list[str] = []
+    if new_shards is None:
+        shard_dirs = [
+            d for d in sorted(os.listdir(blocks_dir)) if d.startswith("shard=")
+        ]
+    else:
+        shard_dirs = [f"shard={s}" for s in new_shards]
+    for d in shard_dirs:
+        full = os.path.join(blocks_dir, d)
+        if not os.path.isdir(full):
+            return None
+        out.extend(
+            os.path.join(full, f)
+            for f in sorted(os.listdir(full))
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def _merge_lexicon_driver(
+    index_dir: str, files: list[str], fold_old: bool
+) -> None:
+    """Driver-side merge: aggregate (term, n, max_tf) over ``files`` with
+    pyarrow, fold into the existing lexicon when ``fold_old`` (the
+    append case; a full rebuild ignores any stale table), atomic-swap.
+    Sums/maxes of integers are order-independent, so the table is
+    row-identical to the Spark aggregation (differentially tested)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    lex_dir = os.path.join(index_dir, "lexicon")
+    if files:
+        tbl = pads.dataset(files, format="parquet").to_table(
+            columns=["term", "n", "max_tf"]
+        )
+        pdf = tbl.to_pandas()
+        agg = pdf.groupby("term", sort=False).agg(
+            df=("n", "sum"), nblocks=("n", "size"), max_tf=("max_tf", "max")
+        )
+    else:
+        agg = pd.DataFrame(
+            {"df": [], "nblocks": [], "max_tf": []},
+            index=pd.Index([], name="term"),
+        )
+    if fold_old:
+        old = (
+            pads.dataset(lex_dir, format="parquet")
+            .to_table(columns=["term", "df", "nblocks", "max_tf"])
+            .to_pandas()
+            .set_index("term")
+        )
+        both = old.add(agg, fill_value=0)  # aligned elementwise sum
+        # max_tf merges by MAX, not sum — recompute it from the inputs
+        both["max_tf"] = old["max_tf"].combine(
+            agg["max_tf"], max, fill_value=0
+        )
+        agg = both
+    agg = agg.reset_index()
+    out = pa.table(
+        {
+            "term": pa.array(agg["term"].astype(str) if len(agg) else [], type=pa.string()),
+            "df": pa.array(agg["df"].astype("int64"), type=pa.int64()),
+            "nblocks": pa.array(
+                agg["nblocks"].astype("int32"), type=pa.int32()
+            ),
+            "max_tf": pa.array(
+                agg["max_tf"].astype("int64"), type=pa.int64()
+            ),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    tmp_dir = lex_dir + "_tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir)
+    pq.write_table(out, os.path.join(tmp_dir, f"part-{uuid.uuid4().hex}.parquet"))
+    if os.path.isdir(lex_dir):
+        shutil.rmtree(lex_dir)
+    os.rename(tmp_dir, lex_dir)
+
+
 def merge_lexicon(
     spark: SparkSession, index_dir: str, new_shards: list[int] | None
 ) -> list[str]:
@@ -266,19 +369,40 @@ def merge_lexicon(
     lexicon exists yet, e.g. after a crash mid-swap: the lexicon is
     derived state and always reconstructible).
 
+    Small deltas (<= _LEXICON_DRIVER_MAX_BLOCKS block rows by footer
+    census) merge DRIVER-SIDE via pyarrow — the aggregate is a few
+    hundred rows and the Spark job around it was pure latency; the
+    Spark path is unchanged for corpus-scale deltas.
+
     Returns the list of block data files the merge read — tests assert
     an append touched only the new shards' files.
     """
     blocks_dir = os.path.join(index_dir, "blocks")
     lex_dir = os.path.join(index_dir, "lexicon")
     have_old = os.path.isdir(lex_dir)
+    if new_shards is not None and have_old and not new_shards:
+        return []  # nothing new, existing lexicon already correct
+
+    files = _lexicon_delta_files(
+        blocks_dir, None if (new_shards is None or not have_old) else new_shards
+    )
+    if files is not None and len(files) <= _LEXICON_DRIVER_MAX_FILES:
+        try:
+            import pyarrow.parquet as pq
+
+            n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        except Exception:
+            n_rows = None
+        if n_rows is not None and n_rows <= _LEXICON_DRIVER_MAX_BLOCKS:
+            _merge_lexicon_driver(
+                index_dir, files, have_old and new_shards is not None
+            )
+            return files
 
     if new_shards is None or not have_old:
         delta_blocks = spark.read.parquet(blocks_dir)
         merged = lexicon_from_blocks(delta_blocks)
     else:
-        if not new_shards:
-            return []  # nothing new, existing lexicon already correct
         paths = [os.path.join(blocks_dir, f"shard={s}") for s in new_shards]
         delta_blocks = spark.read.option("basePath", blocks_dir).parquet(*paths)
         delta = lexicon_from_blocks(delta_blocks)
