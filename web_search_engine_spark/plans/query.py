@@ -237,16 +237,21 @@ def boolean_search(postings: DataFrame, query: str, mode: str = "AND") -> DataFr
     hits = postings.filter(_terms_in_expr("term", terms)).select("term", "doc_id").distinct()
     if mode.upper() == "OR":
         return hits.select("doc_id").distinct()
-    # AND gate: |distinct PRESENT terms| rides the same plan as a
-    # broadcast scalar (no separate driver collect + extra job; absent
-    # query terms are dropped before gating, searcher.py:74-81 semantics)
-    n_present = hits.select("term").distinct().agg(
-        F.count("*").alias("n_present")
+    # AND gate: |distinct PRESENT terms| via a driver-side probe (the
+    # probe_lexicon pattern; absent query terms are dropped before
+    # gating, searcher.py:74-81 semantics). The earlier in-plan
+    # broadcast-scalar gate cost the same one extra job to BUILD the
+    # broadcast, plus a crossJoin and a duplicated distinct subtree —
+    # measured 0.36 -> 0.27 s at sf0.1 for the literal gate.
+    n_present = (
+        postings.filter(_terms_in_expr("term", terms))
+        .select("term")
+        .distinct()
+        .count()
     )
     return (
         hits.groupBy("doc_id")
         .agg(F.count("*").alias("n"))
-        .crossJoin(F.broadcast(n_present))
-        .filter(F.col("n") == F.col("n_present"))
+        .filter(F.col("n") == F.lit(n_present))
         .select("doc_id")
     )
