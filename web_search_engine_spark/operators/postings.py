@@ -28,19 +28,33 @@ from pyspark.sql import functions as F
 from ..functions.tokenizer import tokenize_udf, tokens_sql_col
 
 
+# target bytes of input text per tokenize task when spreading an
+# under-parallel scan: a Python/Arrow stage costs ~3-5 ms of per-task
+# eval setup, so 32 near-empty tasks lose to 8 loaded ones (measured
+# sweep at 5k docs: 8p 0.24 s vs 32p 0.37 s; at 50k docs the rule
+# saturates to full parallelism and matches the old behavior).
+_SPREAD_BYTES_PER_TASK = int(
+    os.environ.get("WSE_SPREAD_BYTES_PER_TASK", str(64 * 1024))
+)
+
+
 def _spread_input(df: DataFrame) -> DataFrame:
     """Scale-adaptive input spread (guide §2.5 "input skew").
 
     A scan of one small file (or one giant file with a single row
     group) plans as 1-2 tasks, so every downstream map — tokenize
     included — runs on a fraction of the cores. When the scan is
-    under-parallelized by >= 2x, round-robin the rows across
-    defaultParallelism first; the tiny text shuffle costs far less than
-    the serialized tokenize it prevents (measured: build_postings
-    4.3 s -> 2.3 s at sf1.0/local[32]). Already-parallel inputs (the
-    normal many-files case at scale, or build_index's range-partitioned
-    source) skip the exchange entirely; streaming frames are left
-    untouched.
+    under-parallelized by >= 2x, round-robin the rows across the
+    cores first; the tiny text shuffle costs far less than the
+    serialized tokenize it prevents (measured: build_postings
+    4.3 s -> 2.3 s at sf1.0/local[32]). The spread WIDTH derives from
+    the optimizer's size estimate (~_SPREAD_BYTES_PER_TASK of input
+    per task, capped at defaultParallelism) so a tiny input gets a few
+    loaded tasks instead of a fleet of near-empty ones; an unknown or
+    huge estimate falls back to full parallelism. Already-parallel
+    inputs (the normal many-files case at scale, or build_index's
+    range-partitioned source) skip the exchange entirely; streaming
+    frames are left untouched.
     """
     try:
         if df.isStreaming:
@@ -50,7 +64,18 @@ def _spread_input(df: DataFrame) -> DataFrame:
     except Exception:
         return df
     if 2 * n <= par:
-        return df.repartition(par)
+        target = par
+        try:
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            if 0 < size < (1 << 60):  # a real estimate, not the unknown
+                target = max(1, min(par, -(-size // _SPREAD_BYTES_PER_TASK)))
+        except Exception:
+            pass
+        if target <= n:
+            return df  # already at least as parallel as the data merits
+        return df.repartition(target)
     return df
 
 
