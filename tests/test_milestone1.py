@@ -171,3 +171,15 @@ def test_terms_in_expr_matches_isin(spark):
     got_isin = sorted(r["term"] for r in df.filter(F.col("term").isin(sel)).collect())
     got_expr = sorted(r["term"] for r in df.filter(_terms_in_expr("term", sel)).collect())
     assert got_isin == got_expr == sorted(nasty)
+    # empty list == isin([]): a valid always-false filter, not a parse error
+    assert df.filter(_terms_in_expr("term", [])).count() == 0
+    # and the fast path must hold under the OTHER string-literal parser
+    # mode too (quote/backslash terms take the isin fallback there)
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        got2 = sorted(
+            r["term"] for r in df.filter(_terms_in_expr("term", sel)).collect()
+        )
+        assert got2 == sorted(nasty)
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")

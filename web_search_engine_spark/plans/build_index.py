@@ -185,8 +185,14 @@ _DL_AGG = os.environ.get("WSE_DL_AGG", "auto")
 # shard), cap = the session's parallelism — at corpus scale the cap
 # binds and the plan is unchanged; at tiny scale this collapses 32
 # near-empty tasks (and their per-file open/commit overhead: ~128
-# output files for 5k docs) into a handful.
+# output files for 5k docs) into a handful. The BYTE term protects
+# few-large-documents corpora (100 docs x 10 MB must not encode on
+# len(pending) tasks): the optimizer's size estimate, pro-rated to the
+# pending fraction, adds ~1 task per _BYTES_PER_WRITE_TASK of source.
 _DOCS_PER_WRITE_TASK = int(os.environ.get("WSE_DOCS_PER_WRITE_TASK", "1000"))
+_BYTES_PER_WRITE_TASK = int(
+    os.environ.get("WSE_BYTES_PER_WRITE_TASK", str(1 << 20))
+)
 
 
 def _action_timer():
@@ -583,13 +589,26 @@ def build_index(
                 for s in pending
             )
 
-            # see _DOCS_PER_WRITE_TASK: encode/write parallelism derived
-            # from this pass's size, capped at the session parallelism
+            # see _DOCS_PER_WRITE_TASK / _BYTES_PER_WRITE_TASK:
+            # encode/write parallelism derived from this pass's size
+            # (docs AND estimated bytes), capped at session parallelism
+            pending_bytes_tasks = 0
+            try:
+                sz = int(
+                    source._jdf.queryExecution()
+                    .optimizedPlan().stats().sizeInBytes()
+                )
+                if 0 < sz < (1 << 60) and n_docs:
+                    est = sz * pending_docs // n_docs
+                    pending_bytes_tasks = -(-est // _BYTES_PER_WRITE_TASK)
+            except Exception:
+                pass
             par_pass = min(
                 spark.sparkContext.defaultParallelism,
                 max(
                     len(pending),
                     -(-pending_docs // max(1, _DOCS_PER_WRITE_TASK)),
+                    pending_bytes_tasks,
                 ),
             )
 

@@ -28,6 +28,7 @@ Physical design (what the reference's lexicon-dict probe becomes):
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 
 import pandas as pd
@@ -39,6 +40,12 @@ from ..functions.bm25 import bm25_weighted_score_expr
 from ..functions.tokenizer import tokenize_query
 
 
+# terms whose literal form is identical under BOTH parser modes
+# (spark.sql.parser.escapedStringLiterals on or off): anything without
+# quotes, backslashes, or control characters needs no escaping at all.
+_PLAIN_TERM = re.compile(r"^[^'\\\x00-\x1f]*$")
+
+
 def _terms_in_expr(col: str, terms: list[str]):
     """``col IN ('a','b',...)`` as ONE parsed expression.
 
@@ -46,13 +53,18 @@ def _terms_in_expr(col: str, terms: list[str]):
     same parquet pushdown — differentially tested incl. quotes,
     backslashes and non-ASCII) but a single py4j round-trip instead of
     one literal-construction RPC per term (~19 ms per isin call at a
-    14-term query batch). Values are escaped for Spark's default
-    backslash-escaped string literals.
+    14-term query batch). Only terms that render identically under
+    both string-literal parser modes take the fast path; a term
+    containing a quote/backslash/control char (whose escaping would
+    depend on spark.sql.parser.escapedStringLiterals) falls back to
+    isin, and an empty list is the always-false filter isin([]) means.
     """
-    def q(s: str) -> str:
-        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-
-    return F.expr(f"{col} IN ({','.join(q(t) for t in terms)})")
+    if not terms:
+        return F.lit(False)
+    if all(_PLAIN_TERM.match(t) for t in terms):
+        lits = ",".join(f"'{t}'" for t in terms)
+        return F.expr(f"{col} IN ({lits})")
+    return F.col(col).isin(list(terms))
 
 
 def probe_lexicon(lexicon: DataFrame, terms: list[str]) -> dict[str, int]:
@@ -242,7 +254,10 @@ def boolean_search(postings: DataFrame, query: str, mode: str = "AND") -> DataFr
     # gating, searcher.py:74-81 semantics). The earlier in-plan
     # broadcast-scalar gate cost the same one extra job to BUILD the
     # broadcast, plus a crossJoin and a duplicated distinct subtree —
-    # measured 0.36 -> 0.27 s at sf0.1 for the literal gate.
+    # measured 0.36 -> 0.27 s at sf0.1 for the literal gate. Like the
+    # lexicon probe in score_per_doc, the count is captured at
+    # CONSTRUCTION time: the returned plan answers against the postings
+    # as of this call, not as of a later execution.
     n_present = (
         postings.filter(_terms_in_expr("term", terms))
         .select("term")

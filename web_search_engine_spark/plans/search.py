@@ -354,28 +354,24 @@ def batch_score(
 ) -> DataFrame:
     """Distributed top-k for a query set, reading the block table.
 
-    The query-term df lookup reads the on-disk lexicon parquet
-    DRIVER-SIDE via pyarrow (the same way SearchEngine loads it) — a
-    few ms instead of the ~100 ms Spark job probe_lexicon costs per
-    call; the lexicon is tiny (Heaps' law) and term-filtered at the
-    scan. pre_cluster_by_query: the decoded postings have no reusable
-    partitioning, so one explicit query_id exchange serves both the
-    score aggregation and the top-k window (2 exchanges -> 1; see
-    score_per_doc).
+    The query-term df lookup goes through catalog.term_dfs — a
+    driver-side, term-filtered pyarrow read of the lexicon (the same
+    way SearchEngine loads it), a few ms instead of the ~100 ms Spark
+    job probe_lexicon costs per call, with the catalog's snapshot
+    semantics (the dataset handle is memoized beside the table
+    handles, so df stays consistent with the blocks/doc_stats
+    snapshots across a concurrent append). pre_cluster_by_query: the
+    decoded postings have no reusable partitioning, so one explicit
+    query_id exchange serves both the score aggregation and the top-k
+    window (2 exchanges -> 1; see score_per_doc).
     """
-    import pyarrow.compute as pc
+    from .query import _terms_in_expr
 
     all_terms = sorted(
         {t for _, q in queries for t in tokenize_query(q)}
     )
-    lex = pads.dataset(os.path.join(catalog.index_dir, "lexicon")).to_table(
-        columns=["term", "df"],
-        filter=pc.field("term").isin(all_terms),
-    )
-    term_dfs = dict(
-        zip(lex.column("term").to_pylist(), lex.column("df").to_pylist())
-    )
-    pruned = catalog.blocks().filter(F.col("term").isin(all_terms))
+    term_dfs = catalog.term_dfs(all_terms)
+    pruned = catalog.blocks().filter(_terms_in_expr("term", all_terms))
     postings = blocks_to_postings(pruned, codec=catalog.codec)
     return score_queries(
         postings,

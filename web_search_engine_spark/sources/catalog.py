@@ -67,10 +67,12 @@ class IndexCatalog:
         self.index_dir = index_dir
         self.stats = read_stats(index_dir)
         self._tables: dict[str, DataFrame] = {}
+        self._lex_dataset = None
 
     def refresh(self) -> "IndexCatalog":
         """Drop memoized table handles + re-read stats.json."""
         self._tables.clear()
+        self._lex_dataset = None
         self.stats = read_stats(self.index_dir)
         return self
 
@@ -98,6 +100,30 @@ class IndexCatalog:
 
     def lexicon(self) -> DataFrame:
         return self._table("lexicon")
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """{term: df} for the given terms, read DRIVER-SIDE via pyarrow
+        (no Spark job — the lexicon is tiny by Heaps' law and the read
+        is term-filtered per row group). The dataset handle is memoized
+        with the same snapshot semantics as the Spark table handles: it
+        pins the files present at first touch, so df values stay
+        consistent with the memoized blocks/docs_meta snapshots across
+        a concurrent append; call refresh() to see new data."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        if self._lex_dataset is None:
+            self._lex_dataset = pads.dataset(
+                os.path.join(self.index_dir, "lexicon"), format="parquet"
+            )
+        if not terms:
+            return {}
+        tbl = self._lex_dataset.to_table(
+            columns=["term", "df"], filter=pc.field("term").isin(terms)
+        )
+        return dict(
+            zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist())
+        )
 
     def docs_meta(self) -> DataFrame:
         return self._table("docs_meta")
