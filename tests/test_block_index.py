@@ -146,6 +146,33 @@ def test_index_tables_consistent(spark, index_dir, oracle):
     assert from_postings == nonzero
 
 
+def test_sequential_writes_match_overlapped(
+    spark, index_dir, tmp_path, monkeypatch
+):
+    """WSE_OVERLAP_WRITES=0 (the A/B knob for the guide-§2.6 overlapped
+    writes) must produce the identical index in the tokenize-derived-dl
+    shape — regression: docs_meta was only defined inside the overlap
+    branch, so the sequential path crashed with UnboundLocalError."""
+    monkeypatch.setenv("WSE_OVERLAP_WRITES", "0")
+    d = str(tmp_path / "seq_index")
+    src = corpus_df(spark, n_docs=400, seed=42)
+    build_index(spark, src, d, codec="varbyte", block_size=16, num_shards=4)
+
+    def table(root, name, cols):
+        return sorted(
+            tuple(r[c] for c in cols)
+            for r in spark.read.parquet(os.path.join(root, name))
+            .select(*cols).collect()
+        )
+
+    meta_cols = ["doc_id", "dl", "content_sha256"]
+    assert table(d, "docs_meta", meta_cols) == table(
+        index_dir, "docs_meta", meta_cols
+    )
+    blk_cols = ["term", "block_id", "last_docid", "doc_bytes", "freq_bytes"]
+    assert table(d, "blocks", blk_cols) == table(index_dir, "blocks", blk_cols)
+
+
 def test_sha256_invariant_in_doc_map(spark, index_dir):
     src = assign_doc_ids(corpus_df(spark, n_docs=400, seed=42), ["repo", "path"])
     want = {r["doc_id"]: r["h"] for r in

@@ -832,20 +832,24 @@ def build_index(
                 postings is None and fused_mc is None
                 and os.environ.get("WSE_OVERLAP_WRITES", "1") != "0"
             )
-            if overlapped:
+            if postings is None and fused_mc is None:
                 # tokenize-derived dl: docs_meta depends only on the
-                # cached source rows, NOT on the blocks job — submit both
-                # writes concurrently so docs_meta back-fills executor
-                # slots freed by the blocks stage's tail (guide §2.6
-                # "overlap independent jobs"). The shapes that share a
-                # persisted relation (dl_source=postings, mapcombine)
-                # stay sequential: racing two jobs to materialize one
-                # cache would double-compute it.
+                # cached source rows (also the WSE_OVERLAP_WRITES=0
+                # sequential shape — defined outside the overlap branch)
                 docs_meta = toks.select(
                     "shard", "doc_id", *key_cols, *meta_cols,
                     F.size("tokens").cast("long").alias("dl"),
                     F.sha2(F.col(text_col), 256).alias("content_sha256"),
                 )
+            if overlapped:
+                # docs_meta depends only on the cached source rows, NOT
+                # on the blocks job — submit both writes concurrently so
+                # docs_meta back-fills executor slots freed by the blocks
+                # stage's tail (guide §2.6 "overlap independent jobs").
+                # The shapes that share a persisted relation
+                # (dl_source=postings, mapcombine) stay sequential:
+                # racing two jobs to materialize one cache would
+                # double-compute it.
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(max_workers=2) as pool:
