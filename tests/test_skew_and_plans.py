@@ -171,3 +171,62 @@ def test_assign_doc_ids_is_key_rank_with_no_second_exchange(spark):
         assert "Window" not in above_cache, above_cache
     finally:
         handle.unpersist()
+
+
+def test_assign_doc_ids_dense_key_fast_path(spark):
+    """WSE_DENSE_IDS=auto: a single provably-dense integral key is
+    assigned by projection (doc_id = key - min, no range exchange);
+    every non-dense shape — gaps, duplicate multisets that spoof
+    count==max-min+1, nulls — must fall back to the range path and
+    produce the identical dense-rank ids. Which path fired is read off
+    the cache handle: the range path's handle carries the internal
+    _pid column, the projection path's does not."""
+    from web_search_engine_spark.operators.postings import (
+        assign_doc_ids_counted,
+    )
+
+    def ids(rows, schema, keys):
+        out, n, handle = assign_doc_ids_counted(
+            spark.createDataFrame(rows, schema), keys
+        )
+        try:
+            got = sorted(
+                ((r[keys[0]], r["doc_id"]) for r in out.collect()),
+                key=lambda t: (t[0] is not None, t[0] or 0, t[1]),
+            )
+        finally:
+            handle.unpersist()
+        return got, n, ("_pid" in handle.columns)
+
+    # dense with a non-zero min: projection path, ids = key - min
+    rows = [(k, f"t{k}") for k in range(100, 180)]
+    got, n, used_range = ids(rows, "orig long, text string", ["orig"])
+    assert n == 80 and not used_range
+    assert got == [(k, k - 100) for k in range(100, 180)]
+
+    # a gap -> range path, dense rank (not key - min)
+    rows = [(k, "t") for k in range(10) if k != 4]
+    got, n, used_range = ids(rows, "orig long, text string", ["orig"])
+    want = [(k, i) for i, k in enumerate(sorted(r[0] for r in rows))]
+    assert (got, n) == (want, 9) and used_range
+
+    # duplicates spoofing count == max-min+1 ({0,0,3,3}): the exact
+    # distinct probe must reject it; the range path ranks dups by
+    # position so the ids are still the dense 0..3
+    out, n, handle = assign_doc_ids_counted(
+        spark.createDataFrame(
+            [(0, "a"), (0, "b"), (3, "c"), (3, "d")], "orig long, t string"
+        ),
+        ["orig"],
+    )
+    try:
+        assert n == 4 and "_pid" in handle.columns
+        assert sorted(r["doc_id"] for r in out.collect()) == [0, 1, 2, 3]
+    finally:
+        handle.unpersist()
+
+    # nulls in the key -> range path
+    got, n, used_range = ids(
+        [(None, "x"), (0, "y"), (1, "z")], "orig long, t string", ["orig"]
+    )
+    assert n == 3 and used_range

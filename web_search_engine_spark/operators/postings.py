@@ -371,6 +371,79 @@ def build_term_dictionary(
     return ranked.withColumnRenamed("doc_id", "term_id"), n_terms, handle
 
 
+# dense-integer-key fast path for assign_doc_ids_counted: "auto"
+# probes a single integral key and, when the keys are provably dense
+# (no nulls, exact distinct count == max-min+1 == row count), assigns
+# doc_id = key - min as a pure projection — NO range exchange of the
+# corpus rows at all (guide §2.4 "remove shuffles outright"). "0"
+# disables the probe and always takes the range-partition path.
+_DENSE_IDS = os.environ.get("WSE_DENSE_IDS", "auto")
+
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _dense_key_ids(
+    df: DataFrame, key_cols: list[str]
+) -> tuple[DataFrame, int, DataFrame] | None:
+    """Try the dense-key projection path; None -> caller falls back.
+
+    Two probe jobs over the pruned key column: (count(*), count(k),
+    min, max) — a no-shuffle partial agg — and, only if those are
+    consistent with density, an exact count_distinct confirmation
+    (count == max-min+1 alone is spoofable: duplicates and gaps can
+    cancel, e.g. {0,0,3,3}; moment checks up to sum-of-squares still
+    admit spoofs like {1,5,6} vs {2,3,7}, so the exact distinct is the
+    only honest certificate). For dense keys the two probes replace the
+    RangePartitioner sampling job, the corpus-wide range exchange AND
+    the per-partition count job; doc_id = key - min is exactly the
+    dense rank the contract pins, in any partitioning. Measured at
+    sf0.1: 462 -> 313 ms for the assignment, and downstream tokenize
+    over the cache 384 -> 320 ms (the spread sizes the cache by input
+    bytes instead of inheriting 32 near-empty range partitions).
+    """
+    if _DENSE_IDS == "0" or len(key_cols) != 1:
+        return None
+    key = key_cols[0]
+    if dict(df.dtypes).get(key) not in _INTEGRAL_TYPES:
+        return None
+    r = df.agg(
+        F.count("*").alias("n"),
+        F.count(key).alias("c"),
+        F.min(key).alias("mn"),
+        F.max(key).alias("mx"),
+    ).collect()[0]
+    n, c = int(r["n"]), int(r["c"])
+    if c == 0 or c != n or int(r["mx"]) - int(r["mn"]) + 1 != c:
+        return None
+    out = _spread_input(df).withColumn(
+        "doc_id", (F.col(key) - F.lit(int(r["mn"]))).cast("long")
+    )
+    handle = out.persist()
+    # Two independent jobs, overlapped (guide §2.6): the exact-distinct
+    # confirmation scans only the PRUNED parquet key column (folding it
+    # into the fill job instead was measured SLOWER at 50k docs — 0.62
+    # vs 0.47 s — because the distinct agg then rides the full-row
+    # materialization), while the fill job materializes the cache
+    # (downstream consumers, including the overlapped build writes,
+    # assume the shared source cache is already hot). No cache race:
+    # the probe reads the raw plan, not the persisted relation.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_distinct = pool.submit(
+            lambda: int(
+                df.agg(F.count_distinct(key).alias("d")).collect()[0]["d"]
+            )
+        )
+        f_fill = pool.submit(handle.count)
+        d = f_distinct.result()
+        f_fill.result()
+    if d != c:  # spoofed density (dups+gaps cancelling): fall back
+        handle.unpersist()
+        return None
+    return handle, c, handle
+
+
 def assign_doc_ids_counted(
     df: DataFrame, key_cols: list[str]
 ) -> tuple[DataFrame, int, DataFrame]:
@@ -401,7 +474,18 @@ def assign_doc_ids_counted(
     sort (sortWithinPartitions; no exchange). The range-partitioned
     rows are persisted because separate actions re-plan the DataFrame
     (the exchange would rerun per downstream job).
+
+    Dense-integer-key fast path (WSE_DENSE_IDS=auto, the default): when
+    the single integral key is provably dense the id is key - min — a
+    projection, zero exchanges; see _dense_key_ids.
     """
+    if _DENSE_IDS not in ("auto", "0"):
+        raise ValueError(
+            f"WSE_DENSE_IDS must be auto|0, got {_DENSE_IDS!r}"
+        )
+    fast = _dense_key_ids(df, key_cols)
+    if fast is not None:
+        return fast
     n_part = df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n_part, *key_cols).withColumn(
         "_pid", F.spark_partition_id()
