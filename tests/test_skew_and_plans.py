@@ -173,7 +173,7 @@ def test_assign_doc_ids_is_key_rank_with_no_second_exchange(spark):
         handle.unpersist()
 
 
-def test_assign_doc_ids_dense_key_fast_path(spark):
+def test_assign_doc_ids_dense_key_fast_path(spark, monkeypatch):
     """WSE_DENSE_IDS=auto: a single provably-dense integral key is
     assigned by projection (doc_id = key - min, no range exchange);
     every non-dense shape — gaps, duplicate multisets that spoof
@@ -181,9 +181,12 @@ def test_assign_doc_ids_dense_key_fast_path(spark):
     produce the identical dense-rank ids. Which path fired is read off
     the cache handle: the range path's handle carries the internal
     _pid column, the projection path's does not."""
+    import web_search_engine_spark.operators.postings as P
     from web_search_engine_spark.operators.postings import (
         assign_doc_ids_counted,
     )
+
+    monkeypatch.setattr(P, "_DENSE_IDS", "auto")
 
     def ids(rows, schema, keys):
         out, n, handle = assign_doc_ids_counted(
